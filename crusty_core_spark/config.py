@@ -1,0 +1,61 @@
+"""Crawl configuration.
+
+Field defaults mirror the reference's defaults so that fixtures generated in
+the deterministic regime line up:
+
+- per-host concurrency 2        (reference main/src/config.rs:327)
+- politeness delay 1000 ms      (reference main/src/config.rs:329-330; we use
+                                 deterministic iteration ticks, no jitter)
+- max_response_size 2 MiB       (reference main/src/config.rs:339)
+- page_budget 50 / job          (reference main/src/crawler.rs:31)
+- links_per_page_budget 50      (reference main/src/crawler.rs:32)
+- max_level 10                  (reference main/src/crawler.rs:33)
+- max_redirect 5                (reference main/src/crawler.rs:28)
+- accepted content types        (reference main/src/crawler.rs:33,145-158)
+- www_allow True                (reference main/src/crawler.rs:30)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # politeness / scheduling
+    concurrency_per_host: int = 2
+    delay_ms: int = 0  # 0 in the deterministic fixture regime
+    # filters / budgets
+    page_budget: int | None = 50
+    links_per_page_budget: int | None = 50
+    max_level: int | None = 10
+    max_redirect: int = 5
+    max_response_size: int = 2 * 1024 * 1024
+    accepted_content_types: tuple[str, ...] = ("text/html", "text/plain")
+    robots_txt: bool = True
+    www_allow: bool = True
+    user_agent: str = "spark-crawl/0"
+    # engine
+    max_iterations: int = 1000
+    n_bloom_shards: int = 64
+    bloom_bits_per_shard: int = 1 << 20  # 128 KiB per shard at test scale
+    bloom_num_hashes: int = 5
+    hot_host_salt_threshold: int = 10_000  # ready rows per host before salting
+    seed: int = 42
+
+    def to_dict(self) -> dict:
+        d = asdict(self)
+        d["accepted_content_types"] = list(self.accepted_content_types)
+        return d
+
+    @staticmethod
+    def from_dict(d: dict) -> "CrawlConfig":
+        d = dict(d)
+        d["accepted_content_types"] = tuple(d.get("accepted_content_types", ()))
+        return CrawlConfig(**d)
+
+
+#: The deterministic fixture regime (reference with concurrency=1, delay=0,
+#: jitter=0 — the only regime where the reference's crawl order is
+#: reproducible; see SURVEY.md §3.3).
+FIXTURE_CONFIG = CrawlConfig(concurrency_per_host=1, delay_ms=0)

@@ -1,0 +1,108 @@
+"""URL canonicalization — the engine's per-row identity function.
+
+Semantics (superset of the reference, per BASELINE.json north_star):
+
+- relative hrefs are joined against the parent URL
+  (reference: ``parent.url.join(href)``, main/src/types.rs:438-441)
+- the fragment is always stripped (main/src/types.rs:443)
+- scheme and host are lowercased; host is trimmed (main/src/types.rs:195-197;
+  the Rust ``url`` crate lowercases on parse)
+- the default port for the scheme is elided (url crate behavior)
+- query parameters are sorted by (key, value), duplicates preserved
+  (north_star addition — the reference does no param sorting; both the engine
+  and the fixture generator use THIS canonicalizer so goldens line up)
+- empty path becomes "/"
+- unparseable URLs canonicalize to NULL (reference rejects them,
+  main/src/types.rs:440-441)
+
+Scheme whitelisting (http/https only, main/src/types.rs:477-480) is a separate
+predicate — see operators/filters.py — so that non-web links are observable
+as filtered rows rather than silently null.
+
+Vectorization: a pandas UDF batching over Arrow; the inner loop is plain
+Python over a batch (no per-row Spark UDF crossing). Host/scheme extraction
+AFTER canonicalization stays JVM-side via ``F.parse_url``.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import parse_qsl, urlencode, urljoin, urlsplit, urlunsplit
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_DEFAULT_PORTS = {"http": 80, "https": 443, "ftp": 21, "ws": 80, "wss": 443}
+
+
+def canonicalize_url(href: str | None, base: str | None = None) -> str | None:
+    """Pure canonicalizer. Returns the canonical string or None."""
+    if href is None:
+        return None
+    href = href.strip()
+    if not href:
+        return None
+    try:
+        raw = urljoin(base, href) if base else href
+        parts = urlsplit(raw)
+        port = parts.port  # raises ValueError on a garbage port
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    host = (parts.hostname or "").strip().lower()
+    if not scheme or not host:
+        return None
+    netloc = host
+    if port is not None and _DEFAULT_PORTS.get(scheme) != port:
+        netloc = f"{host}:{port}"
+    if parts.username:
+        userinfo = parts.username
+        if parts.password:
+            userinfo += f":{parts.password}"
+        netloc = f"{userinfo}@{netloc}"
+    path = parts.path or "/"
+    query = ""
+    if parts.query:
+        pairs = parse_qsl(parts.query, keep_blank_values=True)
+        if pairs:
+            query = urlencode(sorted(pairs))
+        else:
+            # query present but not k=v shaped (e.g. "?flag") — keep verbatim
+            query = parts.query
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def _canon_batch(hrefs: pd.Series, bases: pd.Series) -> pd.Series:
+    out = [
+        canonicalize_url(h, b if isinstance(b, str) and b else None)
+        for h, b in zip(hrefs.tolist(), bases.tolist())
+    ]
+    return pd.Series(out, dtype=object)
+
+
+@F.pandas_udf(T.StringType())
+def _canonicalize_udf(hrefs: pd.Series, bases: pd.Series) -> pd.Series:
+    return _canon_batch(hrefs, bases)
+
+
+def canonicalize_udf(href: Column, base: Column | None = None) -> Column:
+    """Vectorized canonicalize(href, base) -> canonical url string column."""
+    if base is None:
+        base = F.lit(None).cast("string")
+    return _canonicalize_udf(href, base)
+
+
+def url_host(url: Column) -> Column:
+    """Host of an already-canonical URL — JVM-side, no Python crossing."""
+    return F.lower(F.trim(F.parse_url(url, F.lit("HOST"))))
+
+
+def url_scheme(url: Column) -> Column:
+    """Scheme of an already-canonical URL — JVM-side."""
+    return F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+
+
+def host_hash(host: Column, n_buckets: int) -> Column:
+    """Stable host bucket for partitioning/sharding — JVM-side xxhash64."""
+    return F.pmod(F.xxhash64(host), F.lit(n_buckets)).cast("int")

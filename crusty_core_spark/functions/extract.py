@@ -1,0 +1,226 @@
+"""HTML link/title/text extraction — the pinned extractor.
+
+The reference extracts, per document (main/src/select_task_expanders.rs:37-51
+``FollowLinks`` / :79-93 ``LoadImages``; main/README.md:31 title):
+
+- every ``<a>`` element in document order → a Link with
+  ``href`` (raw attr, later joined + fragment-stripped — types.rs:438-443),
+  ``rel`` (attr or ""), ``alt`` (attr or "", trimmed — types.rs:448),
+  ``text`` (concatenated descendant text, trimmed — types.rs:449)
+- every ``<img src>`` in document order → a Load-target link
+- ``title`` = text of the FIRST <title> element (first-match semantics)
+
+The reference defines no page-text extractor; BASELINE.json's per-row
+invariant ("byte-identical extracted text per url") is pinned against THIS
+spec, which both the engine and the fixture generator share:
+
+    text := '\n'.join(stripped, non-empty text nodes in document order,
+                      excluding <script>/<style> subtrees)
+
+Implementation: stdlib html.parser (only HTML parser in the sandbox), wrapped
+in mapInPandas — Arrow-batched, no per-row Spark UDF. gzip/deflate bodies are
+decoded first (reference: main/src/task_processor.rs:73-77).
+"""
+
+from __future__ import annotations
+
+import gzip
+import zlib
+from html.parser import HTMLParser
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+LINK_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("href", T.StringType()),
+            T.StructField("rel", T.StringType()),
+            T.StructField("alt", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("pos", T.IntegerType()),
+        ]
+    )
+)
+
+EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("title", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("links", LINK_TYPE),
+        T.StructField("images", LINK_TYPE),
+    ]
+)
+
+_SKIP_TEXT_TAGS = {"script", "style"}
+
+
+class _PinnedExtractor(HTMLParser):
+    """Single-pass extractor implementing the pinned spec above."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[dict] = []
+        self.images: list[dict] = []
+        self.title: str | None = None
+        self.text_parts: list[str] = []
+        self._open_anchors: list[dict] = []
+        self._title_parts: list[str] | None = None
+        self._title_done = False
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TEXT_TAGS:
+            self._skip_depth += 1
+            return
+        d = dict(attrs)
+        if tag == "title" and not self._title_done:
+            self._title_parts = []
+        elif tag == "a":
+            # pos assigned at start-tag: document order of <a> occurrences
+            self._open_anchors.append(
+                {
+                    "href": d.get("href"),
+                    "rel": d.get("rel") or "",
+                    "alt": (d.get("alt") or "").strip(),
+                    "_text": [],
+                    "pos": len(self.links) + len(self._open_anchors),
+                }
+            )
+        elif tag == "img":
+            src = d.get("src")
+            if src is not None:
+                self.images.append(
+                    {
+                        "href": src,
+                        "rel": d.get("rel") or "",
+                        "alt": (d.get("alt") or "").strip(),
+                        "text": "",
+                        "pos": len(self.images),
+                    }
+                )
+
+    def handle_startendtag(self, tag, attrs):
+        if tag == "img":
+            self.handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TEXT_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if tag == "title" and self._title_parts is not None:
+            self.title = "".join(self._title_parts).strip()
+            self._title_parts = None
+            self._title_done = True
+        elif tag == "a" and self._open_anchors:
+            self._emit_anchor(self._open_anchors.pop())
+
+    def handle_data(self, data):
+        if self._skip_depth:
+            return
+        if self._title_parts is not None:
+            self._title_parts.append(data)
+        for a in self._open_anchors:
+            a["_text"].append(data)
+        s = data.strip()
+        if s:
+            self.text_parts.append(s)
+
+    def _emit_anchor(self, a: dict) -> None:
+        self.links.append(
+            {
+                "href": a["href"],
+                "rel": a["rel"],
+                "alt": a["alt"],
+                "text": "".join(a["_text"]).strip(),
+                "pos": a["pos"],
+            }
+        )
+
+    def finish(self) -> None:
+        self.close()
+        while self._open_anchors:  # unclosed <a> at EOF still emits
+            self._emit_anchor(self._open_anchors.pop(0))
+        self.links.sort(key=lambda l: l["pos"])
+
+
+def decode_body(body: bytes | None, content_encoding: str | None) -> bytes:
+    if body is None:
+        return b""
+    enc = (content_encoding or "").lower()
+    try:
+        if enc == "gzip":
+            return gzip.decompress(body)
+        if enc == "deflate":
+            try:
+                return zlib.decompress(body)
+            except zlib.error:
+                return zlib.decompress(body, -zlib.MAX_WBITS)
+    except (OSError, zlib.error):
+        return b""
+    return body
+
+
+def extract_document(
+    html: bytes | str | None, content_encoding: str | None = None
+) -> dict:
+    """Run the pinned extractor over one document. Pure, deterministic."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = decode_body(bytes(html), content_encoding).decode(
+            "utf-8", errors="replace"
+        )
+    elif html is None:
+        html = ""
+    p = _PinnedExtractor()
+    try:
+        p.feed(html)
+        p.finish()
+    except Exception:
+        pass  # malformed HTML: keep whatever was extracted (parser is lenient)
+    # drop anchors with no href — reference skips them
+    links = [l for l in p.links if l["href"] is not None]
+    for i, l in enumerate(links):
+        l["pos"] = i
+    return {
+        "title": p.title,
+        "text": "\n".join(p.text_parts),
+        "links": links,
+        "images": p.images,
+    }
+
+
+def _extract_batches(
+    batches: Iterator[pd.DataFrame], html_col: str, enc_col: str | None
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        encs = pdf[enc_col] if enc_col and enc_col in pdf else None
+        rows = [
+            extract_document(h, encs.iloc[i] if encs is not None else None)
+            for i, h in enumerate(pdf[html_col].tolist())
+        ]
+        out = pdf.drop(columns=[html_col])
+        out["title"] = pd.Series([r["title"] for r in rows], dtype=object).values
+        out["text"] = pd.Series([r["text"] for r in rows], dtype=object).values
+        out["links"] = pd.Series([r["links"] for r in rows], dtype=object).values
+        out["images"] = pd.Series([r["images"] for r in rows], dtype=object).values
+        yield out
+
+
+def extract_pages(
+    df: DataFrame, html_col: str = "html", enc_col: str | None = "content_encoding"
+) -> DataFrame:
+    """Vectorized parse+expand stage (the ParserProcessor analogue,
+    main/src/parser_processor.rs:9-78): html → title/text/links/images columns.
+
+    Input columns are passed through minus ``html_col`` (pruned as early as
+    possible — the parse output dominates the page body downstream).
+    """
+    if enc_col is not None and enc_col not in df.columns:
+        enc_col = None
+    keep = [f for f in df.schema.fields if f.name != html_col]
+    out_schema = T.StructType(list(keep) + list(EXTRACT_SCHEMA.fields))
+    return df.mapInPandas(
+        lambda it: _extract_batches(it, html_col, enc_col), schema=out_schema
+    )

@@ -1,0 +1,433 @@
+"""CrawlEngine — the batch-synchronous crawl iteration driver.
+
+One crawl iteration == one Spark batch (SURVEY.md §7 dataflow, mapping 1:1 to
+the reference pipeline main/src/task_processor.rs:275-355):
+
+    ready    = politeness-select over frontier_pending      (window rank)
+    fetched  = ready LEFT JOIN pages ON url                 ("fetch")
+    actions  = status filters (Redirect/ContentType) + size cap   (bulk masks)
+    parsed   = extract over processed Follow rows           (mapInPandas, Arrow)
+    cands    = redirect links ∪ parsed links → canonicalize → seen-flag anti-join
+    chain    = per-job serial filter chain                  (cogroup applyInPandas)
+    commit   = frontier_pending/url_seen/fetch_log/sched_log/lineage/metrics
+               + checkpoint manifest
+
+Scale notes (the 100 TB design intent — verified locally at small SF):
+- frontier_pending is a COMPACT queue: O(live work), rewritten per iteration;
+  history lives in append-only logs (O(new) appends via TableIO snapshots).
+- the fetch join prunes pages to the 6 engine columns (Catalyst column
+  pruning reaches the parquet scan) and joins on url; AQE handles skew,
+  and hot hosts are boundable via cfg politeness (per-host ready cap).
+- the only Python crossings are Arrow-vectorized: canonicalize (pandas UDF),
+  extract (mapInPandas), and the per-job chain (cogroup applyInPandas).
+- dedup check = left join against url_seen keyed (job_id, url); the Bloom
+  shard prefilter (operators/bloom.py) cuts the shuffled probe volume.
+- job_state updates shuffle only TOUCHED jobs through Python; untouched job
+  rows are carried over with an anti-join.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from crusty_core_spark.config import CrawlConfig
+from crusty_core_spark.functions.canonicalize import canonicalize_udf, url_host
+from crusty_core_spark.functions.extract import extract_pages
+from crusty_core_spark.operators.chain import FOLLOW_TARGETS
+from crusty_core_spark.operators.chain_stage import run_chain_stage
+from crusty_core_spark.plans import schemas as S
+from crusty_core_spark.sources.tables import TableIO
+
+PAGE_COLS = ["url", "html", "status", "location", "content_type", "content_encoding"]
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        workdir: str,
+        cfg: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg or CrawlConfig()
+        self.pages = pages.select(
+            *[c for c in PAGE_COLS if c in pages.columns]
+        )
+        self.io = TableIO(spark, workdir)
+
+    # ------------------------------------------------------------------ seed
+
+    def seed(self, seeds: list[tuple[int, str]] | DataFrame) -> None:
+        """Register jobs and schedule their root tasks (iteration 0).
+
+        Mirrors TaskScheduler::go root scheduling
+        (main/src/task_scheduler.rs:119-132): the root candidate runs the full
+        chain (with task_seq_num=0), which also performs the robots.txt root
+        swap when enabled."""
+        spark = self.spark
+        if not isinstance(seeds, DataFrame):
+            seeds = spark.createDataFrame(seeds, "job_id long, seed_url string")
+        roots = (
+            seeds.withColumn("url", canonicalize_udf(F.col("seed_url")))
+            .filter(F.col("url").isNotNull())
+            .withColumn("host", url_host(F.col("url")))
+            .withColumn(
+                "scheme", F.regexp_extract("url", r"^([a-z][a-z0-9+.-]*):", 1)
+            )
+        )
+        job_state = roots.select(
+            "job_id",
+            F.col("url").alias("root_url"),
+            F.col("host").alias("root_host"),
+            F.col("scheme").alias("root_scheme"),
+            F.lit(0).cast("long").alias("budget_used"),
+            F.lit(-1).cast("long").alias("lpp_seq"),
+            F.lit(0).cast("long").alias("lpp_count"),
+            F.lit("none").alias("robots_state"),
+            F.lit(None).cast("string").alias("robots_rules"),
+            F.lit(None).cast("string").alias("stashed_root_url"),
+            F.lit(0).cast("long").alias("resp_counter"),
+            F.lit(0).cast("long").alias("seq_counter"),
+        )
+        chain_input = roots.select(
+            "job_id",
+            F.lit("cand").alias("kind"),
+            F.lit(-1).cast("long").alias("task_seq"),
+            F.lit(0).alias("link_pos"),
+            "url",
+            "host",
+            F.lit("").alias("rel"),
+            F.lit(0).alias("depth"),
+            F.lit(0).alias("redirect"),
+            F.lit("Follow").alias("target"),
+            F.lit(0).alias("marker"),
+            F.lit(False).alias("seen_global"),
+            F.lit(None).cast("int").alias("status"),
+            F.lit(None).cast("string").alias("content_type"),
+            F.lit(None).cast("string").alias("content_encoding"),
+            F.lit(None).cast("binary").alias("body"),
+            F.lit(None).cast("string").alias("action"),
+        )
+        chain_out = run_chain_stage(chain_input, job_state, self.cfg)
+        chain_out.persist()
+        self._commit_chain_out(chain_out, it=0, remaining=None, fetch_log=None,
+                               counts={})
+        chain_out.unpersist()
+        self.io.set_state(iter=0, seeded=True, cfg=self.cfg.to_dict())
+        self.io.checkpoint("iter-000000")
+
+    # ------------------------------------------------------------------ step
+
+    def step(self) -> dict:
+        """Run one crawl iteration; returns counters for the metrics table."""
+        t0 = time.time()
+        cfg = self.cfg
+        it = int(self.io.state["iter"]) + 1
+        pending = self.io.read("frontier_pending")
+        due = pending.filter(F.col("next_fetch_iter") <= it)
+        not_due = pending.filter(F.col("next_fetch_iter") > it)
+
+        # --- politeness ready-selection (task_processor.rs:388-398 as a
+        #     window rank; skipped entirely when delay is 0 — no shuffle)
+        if cfg.delay_ms > 0:
+            w = W.partitionBy("job_id", "host").orderBy("task_seq")
+            ranked = due.withColumn("_rn", F.row_number().over(w))
+            ready = ranked.filter(
+                F.col("_rn") <= cfg.concurrency_per_host
+            ).drop("_rn")
+            remaining = not_due.unionByName(
+                ranked.filter(F.col("_rn") > cfg.concurrency_per_host).drop("_rn")
+            )
+        else:
+            ready = due
+            remaining = not_due
+
+        # --- fetch = equi-join against the pages universe
+        fetched = ready.join(self.pages, on="url", how="left")
+
+        # --- status filters + size cap, as bulk masks (exact stage order:
+        #     Redirect → ContentType → size; status_filters.rs, task_processor.rs:60-80)
+        ct_ok = F.lit(False)
+        for a in cfg.accepted_content_types:
+            ct_ok = ct_ok | F.col("content_type").contains(a)
+        ct_ok = F.coalesce(ct_ok, F.lit(False))  # null content_type → reject
+        is_redirect = F.col("status").isNotNull() & F.col("status").between(300, 399)
+        canon_loc = canonicalize_udf(F.col("location"), F.col("url"))
+        fetched = fetched.withColumn(
+            "canon_location", F.when(is_redirect, canon_loc)
+        ).withColumn(
+            "action",
+            F.when(F.col("status").isNull(), F.lit("error:HttpError"))
+            .when(
+                is_redirect & (F.col("redirect") >= cfg.max_redirect),
+                F.lit("term:MaxRedirect"),
+            )
+            .when(
+                is_redirect & F.col("canon_location").isNull(),
+                F.lit("error:BadLocation"),
+            )
+            .when(is_redirect, F.lit("term:Redirect"))
+            .when(~ct_ok, F.lit("term:ContentType"))
+            .when(
+                F.length("html") > cfg.max_response_size,
+                F.lit("error:HttpTooBigResponse"),
+            )
+            .otherwise(F.lit("processed")),
+        )
+        fetched.persist()
+
+        # --- parse + expand (FollowLinks, select_task_expanders.rs:37-51)
+        to_parse = fetched.filter(
+            (F.col("action") == "processed")
+            & F.col("target").isin(*FOLLOW_TARGETS)
+        ).select(
+            "job_id", "task_seq", "url", "depth", "html", "content_encoding"
+        )
+        parsed = extract_pages(to_parse).persist()
+
+        link = F.col("link")
+        parsed_links = (
+            parsed.select(
+                "job_id",
+                "task_seq",
+                F.col("url").alias("parent_url"),
+                "depth",
+                F.posexplode_outer("links").alias("pos", "link"),
+            )
+            .filter(link.isNotNull())
+            .withColumn(
+                "cand_url", canonicalize_udf(link["href"], F.col("parent_url"))
+            )
+            .filter(F.col("cand_url").isNotNull())
+            .select(
+                "job_id",
+                "task_seq",
+                F.lit("cand").alias("kind"),
+                # document-order position; gaps after the null-drop are fine —
+                # the chain stage only sorts by it (no window shuffle needed)
+                F.col("pos").cast("int").alias("link_pos"),
+                F.col("cand_url").alias("url"),
+                url_host(F.col("cand_url")).alias("host"),
+                F.coalesce(link["rel"], F.lit("")).alias("rel"),
+                (F.col("depth") + 1).alias("depth"),  # Task::new types.rs:484
+                F.lit(0).alias("redirect"),
+                F.lit("Follow").alias("target"),
+                F.lit(0).alias("marker"),
+            )
+        )
+
+        # --- redirect candidates (status_filters.rs:58-65; keeps level+marker)
+        redirect_cands = fetched.filter(F.col("action") == "term:Redirect").select(
+            "job_id",
+            "task_seq",
+            F.lit("cand").alias("kind"),
+            F.lit(0).alias("link_pos"),
+            F.col("canon_location").alias("url"),
+            url_host(F.col("canon_location")).alias("host"),
+            F.lit("").alias("rel"),
+            F.col("depth"),  # redirect keeps level (types.rs:484)
+            (F.col("redirect") + 1).alias("redirect"),
+            "target",
+            "marker",
+        )
+
+        cands = parsed_links.unionByName(redirect_cands)
+
+        # --- dedup check flag: bulk anti-join vs committed url_seen
+        #     (task_filters.rs:184-192; the commit stays inside the chain)
+        seen = self.io.read("url_seen").select(
+            "job_id", "url", F.lit(True).alias("seen_global")
+        )
+        cands = (
+            cands.join(seen, on=["job_id", "url"], how="left")
+            .withColumn("seen_global", F.coalesce("seen_global", F.lit(False)))
+            .withColumn("status", F.lit(None).cast("int"))
+            .withColumn("content_type", F.lit(None).cast("string"))
+            .withColumn("content_encoding", F.lit(None).cast("string"))
+            .withColumn("body", F.lit(None).cast("binary"))
+            .withColumn("action", F.lit(None).cast("string"))
+        )
+
+        # --- response rows (every ready task; robots rows carry their body)
+        resp_rows = fetched.select(
+            "job_id",
+            F.lit("resp").alias("kind"),
+            "task_seq",
+            F.lit(0).alias("link_pos"),
+            "url",
+            "host",
+            "rel",
+            "depth",
+            "redirect",
+            "target",
+            "marker",
+            F.lit(False).alias("seen_global"),
+            "status",
+            "content_type",
+            "content_encoding",
+            F.when(
+                (F.col("marker") == 1) & (F.col("action") == "processed"),
+                F.col("html"),
+            ).alias("body"),
+            "action",
+        )
+        chain_input = resp_rows.unionByName(
+            cands.select(*[f.name for f in resp_rows.schema.fields])
+        )
+
+        # --- per-job chain replay; only touched jobs cross into Python
+        job_state = self.io.read("job_state")
+        touched_jobs = chain_input.select("job_id").distinct()
+        js_touched = job_state.join(touched_jobs, "job_id", "left_semi")
+        js_untouched = job_state.join(touched_jobs, "job_id", "left_anti")
+        chain_out = run_chain_stage(chain_input, js_touched, self.cfg)
+        chain_out.persist()
+
+        # --- fetch_log rows (title + n_links folded in)
+        titles = parsed.select("job_id", "task_seq", "title")
+        n_links = parsed_links.groupBy("job_id", "task_seq").agg(
+            F.count("*").cast("int").alias("n_links")
+        )
+        fetch_log = (
+            fetched.select(
+                F.lit(it).alias("iter"),
+                "job_id",
+                "task_seq",
+                "url",
+                "depth",
+                "redirect",
+                "marker",
+                "status",
+                "action",
+                F.length("html").cast("long").alias("bytes"),
+            )
+            .join(titles, ["job_id", "task_seq"], "left")
+            .join(n_links, ["job_id", "task_seq"], "left")
+            .withColumn("n_links", F.coalesce("n_links", F.lit(0)))
+            .select(
+                "iter", "job_id", "task_seq", "url", "depth", "redirect",
+                "marker", "status", "action", "n_links", "title", "bytes",
+            )
+        )
+
+        counts = {
+            r["action"]: r["n"]
+            for r in fetched.groupBy("action").agg(F.count("*").alias("n")).collect()
+        }
+        self._commit_chain_out(
+            chain_out,
+            it=it,
+            remaining=remaining,
+            fetch_log=fetch_log,
+            counts=counts,
+            js_untouched=js_untouched,
+            wall_ms=int((time.time() - t0) * 1000),
+        )
+        chain_out.unpersist()
+        parsed.unpersist()
+        fetched.unpersist()
+        self.io.set_state(iter=it)
+        self.io.checkpoint(f"iter-{it:06d}")
+        return counts
+
+    # ---------------------------------------------------------------- commit
+
+    def _commit_chain_out(self, chain_out, it, remaining, fetch_log, counts,
+                          js_untouched=None, wall_ms=0):
+        io = self.io
+        tasks = chain_out.filter(F.col("row_kind") == "task").select(
+            "job_id", "task_seq", "url", "host", "depth", "redirect", "target",
+            "marker", "rel", "parent_url", "parent_seq", "link_pos",
+            F.lit(it + 1).cast("long").alias("next_fetch_iter"),
+            F.lit(it).cast("long").alias("added_iter"),
+        )
+        if remaining is not None:
+            tasks = remaining.unionByName(tasks)
+        io.overwrite("frontier_pending", tasks)
+        # commit-last dedup semantics: the chain only emits fresh URLs,
+        # so a plain O(new) append IS the MERGE (task_filters.rs:199-211)
+        io.append(
+            "url_seen",
+            chain_out.filter(F.col("row_kind") == "task").select(
+                "job_id", "url", F.lit(it).cast("long").alias("added_iter")
+            ),
+        )
+        sched = chain_out.filter(F.col("row_kind") == "sched").select(
+            F.lit(it).cast("long").alias("iter"),
+            "job_id", "parent_seq_num", "url", "depth", "link_pos", "action",
+            "filter",
+        )
+        io.append("sched_log", sched)
+        lineage = chain_out.filter(F.col("row_kind") == "lineage").select(
+            "job_id", "url", "seed_url", "depth", "discovered_by",
+            F.lit(it).cast("long").alias("iter"),
+        )
+        io.append("lineage", lineage)
+        states = chain_out.filter(F.col("row_kind") == "state").select(
+            "job_id", "root_url", "root_host", "root_scheme", "budget_used",
+            "lpp_seq", "lpp_count", "robots_state", "robots_rules",
+            "stashed_root_url", "resp_counter", "seq_counter",
+        )
+        if js_untouched is not None:
+            states = js_untouched.unionByName(states)
+        io.overwrite("job_state", states)
+        if fetch_log is not None:
+            io.append("fetch_log", fetch_log)
+
+        sched_counts = {
+            (r["action"]): r["n"]
+            for r in chain_out.filter(F.col("row_kind") == "sched")
+            .groupBy("action").agg(F.count("*").alias("n")).collect()
+        }
+        n_ready = sum(counts.values())
+        metrics_row = [(
+            it,
+            n_ready,
+            counts.get("processed", 0),
+            sum(v for k, v in counts.items() if k.startswith("error")),
+            sum(sched_counts.values()),
+            sched_counts.get("accept", 0),
+            sched_counts.get("skip", 0),
+            sched_counts.get("term", 0),
+            0,
+            wall_ms,
+        )]
+        io.append(
+            "metrics", self.spark.createDataFrame(metrics_row, S.METRICS)
+        )
+
+    # ------------------------------------------------------------------ run
+
+    def pending_count(self) -> int:
+        return self.io.read("frontier_pending").count()
+
+    def run(self, max_iterations: int | None = None) -> dict:
+        cap = max_iterations or self.cfg.max_iterations
+        stats = {"iterations": 0, "processed": 0}
+        while stats["iterations"] < cap:
+            if self.pending_count() == 0:
+                break
+            counts = self.step()
+            stats["iterations"] += 1
+            stats["processed"] += sum(counts.values())
+        return stats
+
+    # ---------------------------------------------------------------- resume
+
+    @classmethod
+    def resume(cls, spark: SparkSession, pages: DataFrame, workdir: str
+               ) -> "CrawlEngine":
+        """Restore from the last complete checkpoint (kill-safe: a crash
+        mid-iteration rolls back to the previous iteration's manifest)."""
+        io = TableIO(spark, workdir)
+        cks = io.list_checkpoints()
+        if not cks:
+            raise RuntimeError(f"no checkpoints under {workdir}")
+        ck = io.restore(cks[-1])
+        cfg = CrawlConfig.from_dict(ck["manifest"]["state"]["cfg"])
+        return cls(spark, pages, workdir, cfg)

@@ -1,0 +1,59 @@
+"""Engine table schemas (SURVEY.md §1.1 mapping of the reference structs)."""
+
+FRONTIER = (
+    "job_id long, task_seq long, url string, host string, depth int, "
+    "redirect int, target string, marker int, rel string, parent_url string, "
+    "parent_seq long, link_pos int, next_fetch_iter long, added_iter long"
+)
+
+JOB_STATE = (
+    "job_id long, root_url string, root_host string, root_scheme string, "
+    "budget_used long, lpp_seq long, lpp_count long, robots_state string, "
+    "robots_rules string, stashed_root_url string, resp_counter long, "
+    "seq_counter long"
+)
+
+URL_SEEN = "job_id long, url string, added_iter long"
+
+FETCH_LOG = (
+    "iter long, job_id long, task_seq long, url string, depth int, "
+    "redirect int, marker int, status int, action string, n_links int, "
+    "title string, bytes long"
+)
+
+SCHED_LOG = (
+    "iter long, job_id long, parent_seq_num long, url string, depth int, "
+    "link_pos int, action string, filter string"
+)
+
+LINEAGE = (
+    "job_id long, url string, seed_url string, depth int, "
+    "discovered_by string, iter long"
+)
+
+METRICS = (
+    "iter long, n_ready long, n_processed long, n_errors long, "
+    "n_candidates long, n_accepted long, n_skipped long, n_terminated long, "
+    "bytes_fetched long, wall_ms long"
+)
+
+# chain-stage exchange schemas (operators/chain_stage.py)
+CHAIN_IN = (
+    "job_id long, kind string, task_seq long, link_pos int, url string, "
+    "host string, rel string, depth int, redirect int, target string, "
+    "marker int, seen_global boolean, status int, content_type string, "
+    "content_encoding string, body binary, action string"
+)
+
+CHAIN_OUT = (
+    "row_kind string, job_id long, task_seq long, url string, host string, "
+    "depth int, redirect int, target string, marker int, rel string, "
+    "parent_url string, parent_seq long, link_pos int, action string, "
+    "filter string, parent_seq_num long, "
+    "root_url string, root_host string, root_scheme string, "
+    "budget_used long, lpp_seq long, lpp_count long, robots_state string, "
+    "robots_rules string, stashed_root_url string, resp_counter long, "
+    "seq_counter long, seed_url string, discovered_by string"
+)
+
+CHAIN_OUT_COLS = [c.strip().split(" ")[0] for c in CHAIN_OUT.split(",")]

@@ -1,0 +1,184 @@
+"""TableIO — snapshot-versioned tables with an atomic manifest.
+
+The design target is Iceberg (snapshot isolation, fast appends, MERGE,
+rollback): no Iceberg runtime jar exists in this sandbox (and no ivy cache to
+resolve one), so TableIO provides the same narrow contract the engine needs
+over plain parquet data directories plus a JSON manifest — the same shape as
+Iceberg's metadata tree (manifest → data files), one level shallower. On a
+cluster with iceberg-spark-runtime on the classpath the call sites map 1:1
+onto Iceberg tables; this fallback keeps every test green offline.
+
+Scalability contract (this is what makes the crawl loop viable at 10^10 rows):
+- ``append`` writes ONLY the new rows as a new immutable data dir and records
+  a new snapshot = old dirs + new dir. O(new data), never O(table).
+- ``overwrite`` writes a new dir and a snapshot containing only it (used for
+  the compact ``frontier_pending`` queue, whose size is O(live work), not
+  O(history)).
+- a snapshot is an immutable list of data dirs → time-travel reads and
+  rollback are O(1) manifest operations.
+
+Layout::
+
+    root/
+      _manifest.json                 # tables: {name: {current, snapshots, schema}}
+      _checkpoints/ckpt-<label>.json # frozen manifests (resume points)
+      <table>/data-<n>/*.parquet     # immutable data dirs
+
+Commit protocol: write data dirs first, then atomically replace the manifest
+(tmp + rename). A crash mid-commit leaves orphan dirs never referenced by any
+manifest — resume reads the last checkpoint, giving the "killed job resumes
+with identical crawl ordering and URL-seen contents" guarantee (the reference
+itself has NO persistence — in-memory state dies with the process
+— checkpoint/resume is a north_rule addition).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class TableIO:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        os.makedirs(os.path.join(root, "_checkpoints"), exist_ok=True)
+        self._manifest_path = os.path.join(root, "_manifest.json")
+        self._manifest = self._load_manifest()
+
+    # ---------- manifest ----------
+
+    def _load_manifest(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return {"tables": {}, "state": {}}
+
+    def _write_manifest(self) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path)
+
+    @property
+    def state(self) -> dict:
+        return self._manifest["state"]
+
+    def set_state(self, **kv) -> None:
+        self._manifest["state"].update(kv)
+        self._write_manifest()
+
+    def _tbl(self, name: str) -> dict:
+        return self._manifest["tables"].setdefault(
+            name, {"current": 0, "next_dir": 0, "snapshots": {}, "schema": None}
+        )
+
+    # ---------- snapshots ----------
+
+    def exists(self, name: str) -> bool:
+        t = self._manifest["tables"].get(name)
+        return bool(t and t["current"] > 0)
+
+    def snapshot_id(self, name: str) -> int:
+        return self._manifest["tables"].get(name, {}).get("current", 0)
+
+    def schema(self, name: str) -> T.StructType:
+        return T.StructType.fromJson(self._tbl(name)["schema"])
+
+    def read(self, name: str, snapshot: int | None = None) -> DataFrame:
+        t = self._tbl(name)
+        snap = t["current"] if snapshot is None else snapshot
+        dirs = t["snapshots"].get(str(snap))
+        if dirs is None:
+            raise KeyError(f"table {name!r} snapshot {snap} does not exist")
+        schema = T.StructType.fromJson(t["schema"])
+        if not dirs:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, name, d) for d in dirs]
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def _write_dir(self, name: str, df: DataFrame) -> str:
+        t = self._tbl(name)
+        d = f"data-{t['next_dir']:06d}"
+        t["next_dir"] += 1
+        df.write.mode("overwrite").parquet(os.path.join(self.root, name, d))
+        return d
+
+    def _commit(self, name: str, dirs: list[str], schema: T.StructType) -> int:
+        t = self._tbl(name)
+        t["current"] += 1
+        t["snapshots"][str(t["current"])] = dirs
+        if t["schema"] is None:
+            t["schema"] = schema.jsonValue()
+        self._write_manifest()
+        return t["current"]
+
+    # ---------- operations ----------
+
+    def overwrite(self, name: str, df: DataFrame) -> int:
+        d = self._write_dir(name, df)
+        return self._commit(name, [d], df.schema)
+
+    def append(self, name: str, df: DataFrame) -> int:
+        """O(new rows): writes only the appended data, extends the snapshot."""
+        t = self._tbl(name)
+        cur = list(t["snapshots"].get(str(t["current"]), []))
+        d = self._write_dir(name, df)
+        return self._commit(name, cur + [d], df.schema)
+
+    def merge_insert_new(self, name: str, df: DataFrame, key: str | list[str]) -> int:
+        """MERGE ... WHEN NOT MATCHED THEN INSERT (dedup-set commit;
+        reference analogue: HashSetDedup commit, main/src/task_filters.rs:199-211).
+        """
+        keys = [key] if isinstance(key, str) else list(key)
+        if self.exists(name):
+            df = df.join(self.read(name).select(*keys), on=keys, how="left_anti")
+        return self.append(name, df)
+
+    def rollback(self, name: str, snapshot: int) -> None:
+        t = self._tbl(name)
+        if str(snapshot) not in t["snapshots"] and snapshot != 0:
+            raise KeyError(f"unknown snapshot {snapshot} for {name}")
+        t["snapshots"].setdefault("0", [])
+        t["current"] = snapshot
+        self._write_manifest()
+
+    # ---------- checkpoints (atomic multi-table) ----------
+
+    def checkpoint(self, label: str, extra: dict | None = None) -> str:
+        ck = {
+            "manifest": json.loads(json.dumps(self._manifest)),
+            "extra": extra or {},
+        }
+        path = os.path.join(self.root, "_checkpoints", f"ckpt-{label}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(ck, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+        return path
+
+    def list_checkpoints(self) -> list[str]:
+        d = os.path.join(self.root, "_checkpoints")
+        return sorted(
+            os.path.join(d, p) for p in os.listdir(d) if p.endswith(".json")
+        )
+
+    def restore(self, checkpoint_path: str) -> dict:
+        """Roll every table (and engine state) back to a checkpoint."""
+        with open(checkpoint_path) as f:
+            ck = json.load(f)
+        self._manifest = ck["manifest"]
+        self._write_manifest()
+        return ck
+
+    def destroy(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)
+
+
+def empty_df(spark: SparkSession, schema: T.StructType) -> DataFrame:
+    return spark.createDataFrame([], schema)
