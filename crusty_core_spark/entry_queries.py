@@ -1,0 +1,733 @@
+"""Query registry for the driver contract (__spark_entry__.py).
+
+Each entry: name → (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
+Oracle None ⇒ non-SQL-expressible (driver records a rows-only check).
+
+Parity discipline (Spark ↔ DuckDB byte-exact value hashes):
+- money/double SUMs go through DECIMAL(18,6) accumulation (exact, order-
+  independent) and are cast back to DOUBLE + ROUND at the end;
+- float expressions that are per-row (no aggregation) are deterministic in
+  both engines and only need a final ROUND;
+- ranking over floats always rounds BEFORE ranking and tie-breaks on ids;
+- counts are CAST(... AS BIGINT) in DuckDB (its SUM(int) is HUGEINT);
+- md5() is the shared deterministic hash (identical hex in both engines).
+
+The queries map SURVEY.md §2 operators onto the driver tables (FIXTURES.md
+§7): politeness window-rank, budgets as top-k, anti-join dedup,
+duplicate-title grouping, running counters, plus the training-data pipeline
+(exact/MinHash-LSH/SimHash/Jaccard dedup, embedding ANN, language-ID,
+quality, token stats, fingerprints).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from crusty_core_spark.functions import dedup_fns as D
+from crusty_core_spark.functions import text as TX
+from crusty_core_spark.functions import vectors as V
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec_sum(col, scale: int = 4):
+    """Order-independent double sum: accumulate as DECIMAL(18,6), emit
+    ROUND(double, scale)."""
+    return F.round(F.sum(col.cast("decimal(18,6)")).cast("double"), scale)
+
+
+QUERIES: dict[str, tuple] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# Relational core (reference joins/aggs/windows re-expressed, SURVEY §2.3-2.5)
+# =====================================================================
+
+@q(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1997-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1997-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+    )
+
+
+@q(
+    "q02_order_revenue_topk",
+    """
+    WITH rev AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority)
+    SELECT o_orderkey, o_orderpriority, revenue FROM (
+      SELECT *, row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS rn
+      FROM rev) WHERE rn <= 10
+    """,
+)
+def q02(spark, sf):
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    rev = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+    w = W.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("o_orderkey", "o_orderpriority", "revenue")
+    )
+
+
+@q(
+    "q03_nation_revenue",
+    """
+    SELECT r.r_name, n.n_name,
+           CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q03(spark, sf):
+    r = _t(spark, sf, "region")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+    )
+
+
+@q(
+    "q04_politeness_rank",
+    """
+    SELECT user_id, event_id, rn FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn <= 2
+    """,
+)
+def q04(spark, sf):
+    # per-host ready-selection analogue (SURVEY §2.5; task_processor.rs:388-398)
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+@q(
+    "q05_page_budget_topk",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+    FROM (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn <= 50
+    GROUP BY event_type
+    """,
+)
+def q05(spark, sf):
+    # TotalPageBudget analogue: first-N per group (task_filters.rs:118-136)
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), _dec_sum(F.col("value")).alias("sum_value"))
+    )
+
+
+@q(
+    "q06_running_counter",
+    """
+    SELECT user_id, event_id,
+           CAST(count(*) OVER w AS BIGINT) AS run_cnt,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 4) AS run_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q06(spark, sf):
+    # budget-counter analogue: running count/sum per job (SURVEY §2.4)
+    ev = _t(spark, sf, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("run_cnt"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double"), 4
+        ).alias("run_sum"),
+    )
+
+
+@q(
+    "q08_anti_join_unseen",
+    """
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+    GROUP BY l_returnflag
+    """,
+)
+def q08(spark, sf):
+    # URL-seen dedup analogue: left-anti join (task_filters.rs:181-197)
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    seen = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    return (
+        li.join(seen, on="l_orderkey", how="left_anti")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), _dec_sum(F.col("l_quantity")).alias("sum_qty"))
+    )
+
+
+@q(
+    "q09_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    sess AS (
+      SELECT user_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps)
+    SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           CAST(max(n_ev) AS BIGINT) AS max_session_events
+    FROM (SELECT user_id, session_id, count(*) AS n_ev
+          FROM sess GROUP BY user_id, session_id)
+    GROUP BY user_id
+    """,
+)
+def q09(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            )
+            | F.lag("ts").over(w).isNull(),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_s"),
+    )
+    sess = gaps.select(
+        "user_id",
+        F.sum("new_s")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_id"),
+    )
+    per = sess.groupBy("user_id", "session_id").agg(F.count("*").alias("n_ev"))
+    return per.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.max("n_ev").cast("long").alias("max_session_events"),
+    )
+
+
+@q(
+    "q21_url_canonical",
+    """
+    SELECT p_partkey,
+           lower(regexp_extract(url, '^[hH][tT][tT][pP]://([^/#?]+)', 1)) AS host,
+           regexp_replace(lower(regexp_extract(url, '^[hH][tT][tT][pP]://([^/#?]+)', 1)), '^www\\.', '') AS apex,
+           regexp_replace(url, '#.*$', '') AS no_fragment
+    FROM (SELECT p_partkey,
+                 concat('HTTP://WWW.Brand', CAST(p_partkey % 7 AS VARCHAR),
+                        '.Example.com/parts/', CAST(p_partkey AS VARCHAR), '#frag') AS url
+          FROM part)
+    """,
+)
+def q21(spark, sf):
+    # SQL-expressible canonicalization subset (host lower, www strip,
+    # fragment strip — SURVEY §1.4; full canonicalizer is pytest-covered)
+    p = _t(spark, sf, "part").select(
+        "p_partkey",
+        F.concat(
+            F.lit("HTTP://WWW.Brand"),
+            (F.col("p_partkey") % 7).cast("string"),
+            F.lit(".Example.com/parts/"),
+            F.col("p_partkey").cast("string"),
+            F.lit("#frag"),
+        ).alias("url"),
+    )
+    host = F.lower(F.regexp_extract("url", r"^[hH][tT][tT][pP]://([^/#?]+)", 1))
+    return p.select(
+        "p_partkey",
+        host.alias("host"),
+        F.regexp_replace(host, r"^www\.", "").alias("apex"),
+        F.regexp_replace("url", r"#.*$", "").alias("no_fragment"),
+    )
+
+
+@q(
+    "q23_event_pivot",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+    FROM events GROUP BY user_id
+    """,
+)
+def q23(spark, sf):
+    ev = _t(spark, sf, "events")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+        .cast("long")
+        .alias(f"n_{t}")
+        for t in ["click", "view", "purchase", "signup", "error"]
+    ]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+@q(
+    "q24_rollup_counts",
+    """
+    SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q24(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n")
+    )
+
+
+# =====================================================================
+# Training-data pipeline: dedup / similarity / text analysis
+# =====================================================================
+
+@q(
+    "q07_exact_dedup_groups",
+    """
+    SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc
+    FROM documents GROUP BY 1
+    """,
+)
+def q07(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.groupBy(TX.fingerprint(F.col("text")).alias("fp")).agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc")
+    )
+
+
+@q(
+    "q10_dedup_keep_first",
+    """
+    SELECT doc_id, fp FROM (
+      SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+             row_number() OVER (PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                                ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1
+    """,
+)
+def q10(spark, sf):
+    d = _t(spark, sf, "documents").withColumn(
+        "fp", TX.fingerprint(F.col("text"))
+    )
+    w = W.partitionBy("fp").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fp")
+    )
+
+
+@q(
+    "q11_token_stats",
+    """
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS sum_tokens,
+           ROUND(SUM(len(string_split_regex(trim(text), '\\s+'))) * 1.0 / count(*), 4) AS avg_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def q11(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(TX.token_count(F.col("text"))).alias("sum_tokens"),
+        F.round(
+            F.sum(TX.token_count(F.col("text"))) * 1.0 / F.count("*"), 4
+        ).alias("avg_tokens"),
+    )
+
+
+@q("q12_lang_id", None)  # filled in below with generated SQL
+def q12(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", "lang", TX.lang_id(F.col("text")).alias("pred_lang"))
+
+
+QUERIES["q12_lang_id"] = (
+    q12,
+    f"SELECT doc_id, lang, {TX.lang_id_sql('text')} AS pred_lang FROM documents",
+)
+
+
+@q(
+    "q13_quality_features",
+    """
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+           ROUND(length(regexp_replace(trim(text), '\\s+', '', 'g')) * 1.0
+                 / len(string_split_regex(trim(text), '\\s+')), 6) AS avg_word_len,
+           ROUND(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+                 / length(text), 6) AS punct_ratio
+    FROM documents
+    """,
+)
+def q13(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        F.round(TX.avg_word_len(F.col("text")), 6).alias("avg_word_len"),
+        F.round(TX.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+    )
+
+
+@q("q14_simhash", None)
+def q14(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", D.simhash16(F.col("text")).alias("simhash"))
+
+
+QUERIES["q14_simhash"] = (
+    q14,
+    f"SELECT doc_id, {D.simhash16_sql('text')} AS simhash FROM documents",
+)
+
+
+@q("q15_minhash_signature", None)
+def q15(spark, sf):
+    d = _t(spark, sf, "documents")
+    sig = D.minhash_signature(D.word_shingles(F.col("text"), 1), 8)
+    return d.select("doc_id", F.concat_ws("|", sig).alias("signature"))
+
+
+QUERIES["q15_minhash_signature"] = (
+    q15,
+    "SELECT doc_id, array_to_string(%s, '|') AS signature FROM documents"
+    % D.minhash_signature_sql(D.word_shingles_sql("text", 1), 8),
+)
+
+
+@q("q16_lsh_candidate_pairs", None)
+def q16(spark, sf):
+    d = _t(spark, sf, "documents")
+    return D.lsh_candidate_pairs(d, "doc_id", "text", k=1, num_hashes=8, bands=2)
+
+
+QUERIES["q16_lsh_candidate_pairs"] = (
+    q16,
+    """
+    WITH sig AS (
+      SELECT doc_id, {sig} AS signature FROM documents),
+    banded AS (
+      SELECT doc_id, unnest({bands}) AS band_key
+      FROM (SELECT doc_id, signature FROM sig))
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM banded l JOIN banded r ON l.band_key = r.band_key
+    WHERE l.doc_id < r.doc_id
+    """.format(
+        sig=D.minhash_signature_sql(D.word_shingles_sql("text", 1), 8),
+        bands=D.lsh_band_keys_sql("signature", 2, 4),
+    ),
+)
+
+
+@q(
+    "q17_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT doc_id, source, sh AS shingle,
+             len(shingles) AS n_sh
+      FROM (SELECT doc_id, source, {sh} AS shingles FROM documents),
+           unnest(shingles) AS u(sh)),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT doc_a, doc_b,
+           ROUND(n_inter * 1.0 / (n_a + n_b - n_inter), 6) AS jaccard
+    FROM inter
+    WHERE ROUND(n_inter * 1.0 / (n_a + n_b - n_inter), 6) >= 0.05
+    """.format(sh=D.word_shingles_sql("text", 2)),
+)
+def q17(spark, sf):
+    d = _t(spark, sf, "documents")
+    return D.jaccard_pairs(d, "doc_id", "text", "source", k=2, threshold=0.05)
+
+
+@q(
+    "q18_ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_sum([x[1] * x[2] FOR x IN list_zip(e.embedding::DOUBLE[], q.qvec)])
+                   / (sqrt(list_sum([v * v FOR v IN e.embedding::DOUBLE[]]))
+                      * sqrt(list_sum([v * v FOR v IN q.qvec]))), 6) AS cos
+      FROM embeddings e, q WHERE e.vec_id != q.query_id)
+    SELECT query_id, rank, neighbor_id, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 3
+    """,
+)
+def q18(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return V.brute_force_topk(e, queries, k=3)
+
+
+@q(
+    "q19_embed_neardup_pairs",
+    """
+    SELECT a.label, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_sum([x[1] * x[2] FOR x IN list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[])])
+                / (sqrt(list_sum([v * v FOR v IN a.embedding::DOUBLE[]]))
+                   * sqrt(list_sum([v * v FOR v IN b.embedding::DOUBLE[]]))), 6) >= 0.3
+    GROUP BY a.label
+    """,
+)
+def q19(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = F.round(V.cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= 0.3)
+        .groupBy(F.col("a.label").alias("label"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@q(
+    "q20_label_centroids",
+    """
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           ROUND(avg(embedding[1]::DOUBLE), 5) AS dim0,
+           ROUND(avg(embedding[2]::DOUBLE), 5) AS dim1,
+           ROUND(avg(embedding[3]::DOUBLE), 5) AS dim2
+    FROM embeddings GROUP BY label
+    """,
+)
+def q20(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return e.groupBy("label").agg(
+        F.count("*").alias("n"),
+        *[
+            F.round(
+                F.avg(F.element_at("embedding", i + 1).cast("double")), 5
+            ).alias(f"dim{i}")
+            for i in range(3)
+        ],
+    )
+
+
+@q(
+    "q22_duplicate_titles",
+    """
+    SELECT title, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM (SELECT doc_id,
+                 array_to_string(string_split_regex(trim(text), '\\s+')[1:2], ' ') AS title
+          FROM documents)
+    GROUP BY title HAVING count(*) >= 2
+    """,
+)
+def q22(spark, sf):
+    # find_duplicate_titles analogue (examples/find_duplicate_titles/main.rs:34-42)
+    d = _t(spark, sf, "documents")
+    toks = TX.tokens(F.col("text"))
+    title = F.concat_ws(" ", F.slice(toks, 1, 2))
+    return (
+        d.select("doc_id", title.alias("title"))
+        .groupBy("title")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# =====================================================================
+# Crawl engine flagship (non-SQL-expressible → rows-only check)
+# =====================================================================
+
+def _crawl_corpus_from_documents(spark, sf):
+    """Deterministic pages universe derived from the documents table: each
+    doc becomes an HTML page on host src<N>.example linking to the next docs
+    of its source. No external data; byte-stable across runs."""
+    from crusty_core_spark.sources.datagen import PAGES_DDL
+    import pandas as pd
+
+    d = _t(spark, sf, "documents").select("doc_id", "text", "lang", "source")
+
+    def to_pages(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                # 25 docs per host; links stay within the host so the crawl
+                # graph is closed under SameDomain
+                base = r.doc_id - (r.doc_id % 25)
+                host = f"h{r.doc_id // 25}.example"
+                links = "".join(
+                    f'<a href="/doc/{base + (r.doc_id + j) % 25}">next {j}</a>\n'
+                    for j in range(1, 4)
+                )
+                body = (
+                    f"<html><head><title>doc {r.doc_id}</title></head>"
+                    f"<body><p>{r.text}</p>\n{links}</body></html>"
+                ).encode()
+                rows.append(
+                    {
+                        "url": f"http://{host}/doc/{r.doc_id}",
+                        "warc_ts": pd.Timestamp("2024-01-01"),
+                        "html": body,
+                        "text": r.text,
+                        "lang": r.lang,
+                        "status": 200,
+                        "location": None,
+                        "content_type": "text/html",
+                        "content_encoding": None,
+                    }
+                )
+                if r.doc_id % 25 == 0:  # one robots.txt per host
+                    rows.append(
+                        {
+                            "url": f"http://{host}/robots.txt",
+                            "warc_ts": pd.Timestamp("2024-01-01"),
+                            "html": b"User-agent: *\nAllow: /\n",
+                            "text": "",
+                            "lang": "en",
+                            "status": 200,
+                            "location": None,
+                            "content_type": "text/plain",
+                            "content_encoding": None,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[c.strip().split(" ")[0] for c in PAGES_DDL.split(",")],
+            )
+
+    return d.mapInPandas(to_pages, schema=PAGES_DDL)
+
+
+@q("q30_crawl_fetch_log", None)
+def q30(spark, sf):
+    """Run the actual crawl engine for 3 iterations over the derived corpus;
+    returns the fetch_log (crawl ordering + actions). Stateful iterative —
+    not SQL-expressible; exactness is covered by the simulator-parity pytest
+    suite instead."""
+    import tempfile
+
+    from crusty_core_spark.config import CrawlConfig
+    from crusty_core_spark.plans.engine import CrawlEngine
+
+    pages = _crawl_corpus_from_documents(spark, sf)
+    wd = tempfile.mkdtemp(prefix="entry_crawl_")
+    cfg = CrawlConfig(page_budget=10, max_iterations=3)
+    eng = CrawlEngine(spark, pages, wd, cfg)
+    eng.seed([(j, f"http://h{j}.example/doc/{j * 25}") for j in range(6)])
+    eng.run(max_iterations=3)
+    return eng.io.read("fetch_log").orderBy("job_id", "task_seq")

@@ -1,0 +1,92 @@
+"""Embedding-vector operations: cosine similarity + brute-force ANN top-k.
+
+Spark side uses JVM higher-order functions (zip_with + aggregate) over
+``array<float>`` cast to double — no Python crossing. The oracle twin uses
+the same double-precision elementwise computation.
+
+Scale path: brute-force top-k is the correctness baseline (O(Q×N) with a
+window rank). For corpus-scale ANN, ``ivf_assign`` buckets vectors by
+nearest centroid so the probe join touches only matching buckets (an
+IVF-flat layout expressed as a plain equi-join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Exact cosine top-k per query (rank ties broken by neighbor id).
+
+    queries columns: (query_id, qvec). Plan: broadcast the query side,
+    score every vector, window-rank per query. Cosine is rounded to 6
+    decimals BEFORE ranking so ordering is stable across engines.
+    """
+    scored = vectors.join(F.broadcast(queries)).filter(
+        F.col(id_col) != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    cent_col: str = "cvec",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF bucketing).
+
+    Centroids are broadcast; assignment = argmax cosine via window rank.
+    The result's ``bucket`` column becomes the equi-join key for probes."""
+    scored = vectors.join(F.broadcast(centroids)).select(
+        "*",
+        F.round(cosine(F.col(vec_col), F.col(cent_col)), 6).alias("_c"),
+    )
+    w = W.partitionBy(*[c for c in vectors.columns]).orderBy(
+        F.desc("_c"), F.asc("centroid_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_c", cent_col)
+        .withColumnRenamed("centroid_id", "bucket")
+    )
