@@ -1,0 +1,148 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Two parts:
+1. headline analytic queries at $SPARK_GRAFT_SF_DIR (default sf0.1);
+2. crawl-engine throughput: a deterministic synthetic web corpus is
+   generated distributed (sources/datagen.py), materialized to parquet, and
+   crawled end-to-end; the headline metric is frontier URLs processed/sec
+   (fetch + parse + dedup + schedule), matching BASELINE.json's metric.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   table dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  BENCH_HOSTS          corpus hosts for the crawl bench (default 1200)
+  BENCH_PAGES_PER_HOST base pages per host (default 40)
+  BENCH_MAX_ITERS      crawl iteration cap (default 8)
+  BENCH_SKIP_CRAWL     "1" → queries only
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_nation_revenue",
+    "q04_politeness_rank",
+    "q06_running_counter",
+    "q07_exact_dedup_groups",
+    "q08_anti_join_unseen",
+    "q12_lang_id",
+    "q14_simhash",
+    "q16_lsh_candidate_pairs",
+    "q18_ann_cosine_topk",
+]
+
+
+def bench_queries(spark, sf_dir):
+    from crusty_core_spark.entry_queries import QUERIES
+
+    out = {}
+    for name in HEADLINE:
+        fn, _ = QUERIES[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        out[name] = round(time.time() - t0, 3)
+        out[name + "_rows"] = n
+    return out
+
+
+def bench_crawl(spark, n_hosts, pages_per_host, max_iters):
+    from crusty_core_spark.config import CrawlConfig
+    from crusty_core_spark.plans.engine import CrawlEngine
+    from crusty_core_spark.sources.datagen import (
+        CorpusSpec,
+        gen_pages_spark,
+        host_name,
+    )
+
+    spec = CorpusSpec(
+        n_hosts=n_hosts,
+        base_pages_per_host=pages_per_host,
+        links_per_page=20,      # realistic page fan-out
+        words_per_page=400,     # ~5 KB HTML bodies
+        zipf_hot_host_factor=20,  # one hot host to exercise skew handling
+        seed=42,
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_crawl_")
+    pages_path = os.path.join(tmp, "pages")
+    t0 = time.time()
+    gen_pages_spark(spark, spec).write.mode("overwrite").parquet(pages_path)
+    # pre-partition by the fetch-join key and cache: every iteration's fetch
+    # join reuses the exchange (the 100 TB analogue is an Iceberg table
+    # bucketed by url_host — storage-side co-location instead of a cache)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pages = spark.read.parquet(pages_path).repartition(n_part, "url").persist()
+    n_pages = pages.count()
+    gen_s = time.time() - t0
+
+    seeds = [(j, f"http://{host_name(spec, j)}/") for j in range(n_hosts)]
+    # warm run (JIT/codegen warmup) on a 200-host slice, untimed
+    warm = CrawlEngine(
+        spark, pages, os.path.join(tmp, "wd_warm"), CrawlConfig()
+    )
+    warm.seed(seeds[:200])
+    warm.run(max_iterations=3)
+
+    eng = CrawlEngine(spark, pages, os.path.join(tmp, "wd"),
+                  CrawlConfig(fetch_log_detail=False))
+    t0 = time.time()
+    eng.seed(seeds)
+    stats = eng.run(max_iterations=max_iters)
+    wall = time.time() - t0
+    processed = eng.io.read("fetch_log").count()
+    seen = eng.io.read("url_seen").count()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "corpus_pages": n_pages,
+        "gen_sec": round(gen_s, 2),
+        "crawl_sec": round(wall, 2),
+        "iterations": stats["iterations"],
+        "urls_processed": processed,
+        "url_seen": seen,
+        "urls_per_sec": round(processed / wall, 2),
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from crusty_core_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    t_all = time.time()
+    queries = bench_queries(spark, sf_dir)
+    crawl = {}
+    if os.environ.get("BENCH_SKIP_CRAWL") != "1":
+        crawl = bench_crawl(
+            spark,
+            int(os.environ.get("BENCH_HOSTS", "1200")),
+            int(os.environ.get("BENCH_PAGES_PER_HOST", "40")),
+            int(os.environ.get("BENCH_MAX_ITERS", "8")),
+        )
+    total = round(time.time() - t_all, 2)
+    result = {
+        "metric": "frontier URLs processed/sec (fetch+parse+dedupe+schedule)",
+        "value": crawl.get("urls_per_sec", total),
+        "unit": "urls/sec" if crawl else "sec",
+        "total_sec": total,
+        "queries": {k: v for k, v in queries.items() if not k.endswith("_rows")},
+        "query_rows": {k[:-5]: v for k, v in queries.items() if k.endswith("_rows")},
+        "crawl": crawl,
+        "sf": sf_dir,
+        "cpus": int(cpus),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

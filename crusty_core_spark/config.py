@@ -37,10 +37,14 @@ class CrawlConfig:
     user_agent: str = "spark-crawl/0"
     # engine
     max_iterations: int = 1000
+    use_bloom: bool = True  # Bloom-shard prefilter in front of the exact set
     n_bloom_shards: int = 64
     bloom_bits_per_shard: int = 1 << 20  # 128 KiB per shard at test scale
     bloom_num_hashes: int = 5
     hot_host_salt_threshold: int = 10_000  # ready rows per host before salting
+    #: include title/n_links on fetch_log rows (costs two joins per
+    #: iteration); crawl ordering/actions are complete either way
+    fetch_log_detail: bool = True
     seed: int = 42
 
     def to_dict(self) -> dict:

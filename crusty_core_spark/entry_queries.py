@@ -497,7 +497,7 @@ QUERIES["q15_minhash_signature"] = (
 @q("q16_lsh_candidate_pairs", None)
 def q16(spark, sf):
     d = _t(spark, sf, "documents")
-    return D.lsh_candidate_pairs(d, "doc_id", "text", k=1, num_hashes=8, bands=2)
+    return D.lsh_candidate_pairs(d, "doc_id", "text", k=2, num_hashes=8, bands=4)
 
 
 QUERIES["q16_lsh_candidate_pairs"] = (
@@ -512,8 +512,8 @@ QUERIES["q16_lsh_candidate_pairs"] = (
     FROM banded l JOIN banded r ON l.band_key = r.band_key
     WHERE l.doc_id < r.doc_id
     """.format(
-        sig=D.minhash_signature_sql(D.word_shingles_sql("text", 1), 8),
-        bands=D.lsh_band_keys_sql("signature", 2, 4),
+        sig=D.minhash_signature_sql(D.word_shingles_sql("text", 2), 8),
+        bands=D.lsh_band_keys_sql("signature", 4, 2),
     ),
 )
 

@@ -192,8 +192,33 @@ def extract_document(
 
 
 def _extract_batches(
-    batches: Iterator[pd.DataFrame], html_col: str, enc_col: str | None
+    batches: Iterator[pd.DataFrame],
+    html_col: str,
+    enc_col: str | None,
+    canonicalize_base: str | None = None,
 ) -> Iterator[pd.DataFrame]:
+    canon = None
+    if canonicalize_base is not None:
+        from urllib.parse import urlsplit
+
+        from crusty_core_spark.functions.canonicalize import canonicalize_url
+
+        def canon(links, base):
+            out = []
+            for link in links:
+                u = canonicalize_url(link["href"], base)
+                if u is None:
+                    continue
+                out.append(
+                    {
+                        "url": u,
+                        "host": (urlsplit(u).hostname or ""),
+                        "rel": link["rel"],
+                        "pos": link["pos"],
+                    }
+                )
+            return out
+
     for pdf in batches:
         encs = pdf[enc_col] if enc_col and enc_col in pdf else None
         rows = [
@@ -203,9 +228,31 @@ def _extract_batches(
         out = pdf.drop(columns=[html_col])
         out["title"] = pd.Series([r["title"] for r in rows], dtype=object).values
         out["text"] = pd.Series([r["text"] for r in rows], dtype=object).values
-        out["links"] = pd.Series([r["links"] for r in rows], dtype=object).values
-        out["images"] = pd.Series([r["images"] for r in rows], dtype=object).values
+        if canon is not None:
+            bases = pdf[canonicalize_base].tolist()
+            out["links_canon"] = pd.Series(
+                [canon(r["links"], b) for r, b in zip(rows, bases)], dtype=object
+            ).values
+        else:
+            out["links"] = pd.Series(
+                [r["links"] for r in rows], dtype=object
+            ).values
+            out["images"] = pd.Series(
+                [r["images"] for r in rows], dtype=object
+            ).values
         yield out
+
+
+CANON_LINK_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("host", T.StringType()),
+            T.StructField("rel", T.StringType()),
+            T.StructField("pos", T.IntegerType()),
+        ]
+    )
+)
 
 
 def extract_pages(
@@ -223,4 +270,33 @@ def extract_pages(
     out_schema = T.StructType(list(keep) + list(EXTRACT_SCHEMA.fields))
     return df.mapInPandas(
         lambda it: _extract_batches(it, html_col, enc_col), schema=out_schema
+    )
+
+
+def extract_pages_canonical(
+    df: DataFrame,
+    base_col: str,
+    html_col: str = "html",
+    enc_col: str | None = "content_encoding",
+) -> DataFrame:
+    """Fused parse + canonicalize: one Python crossing instead of two.
+
+    Emits ``links_canon`` (already joined/fragment-stripped/sorted-params,
+    unparseable hrefs dropped) alongside title/text. This is the engine's hot
+    path; the generic extract_pages stays for the byte-identical text and
+    user-extension (images, raw attrs) paths."""
+    if enc_col is not None and enc_col not in df.columns:
+        enc_col = None
+    keep = [f for f in df.schema.fields if f.name != html_col]
+    out_schema = T.StructType(
+        list(keep)
+        + [
+            T.StructField("title", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("links_canon", CANON_LINK_TYPE),
+        ]
+    )
+    return df.mapInPandas(
+        lambda it: _extract_batches(it, html_col, enc_col, base_col),
+        schema=out_schema,
     )

@@ -2,19 +2,25 @@
 
 ``run_chain_stage`` cogroups this iteration's chain input (response rows +
 candidate rows) with the per-job state table and replays the exact filter
-chain (operators/chain.py) inside ``applyInPandas``. One shuffle keyed by
-job_id; per-job work is O(candidates this iteration), bounded by budgets.
-Scale story: at a 10^10-URL frontier there are ~10^7-10^8 jobs (domains) —
-the parallelism unit is the job, exactly like the reference's
-per-domain worker model (main/src/crawler.rs:382-402), minus the
-shared-memory state.
+chain (operators/chain.py) inside ``applyInPandas``. Jobs are hashed into a
+fixed number of BUCKETS (the cogroup key), so per-group Arrow/pandas overhead
+amortizes over many jobs — at 10^8 jobs the group count stays O(n_buckets).
+Inside a bucket, the fold is plain-python over itertuples with columnar
+output accumulation (no per-row dicts, no per-job pandas slicing) — the
+bucket loop is the measured hot path of an iteration.
+
+Scale story: parallelism unit = the job (domain), exactly like the
+reference's per-domain worker model (main/src/crawler.rs:382-402) minus the
+shared-memory state; per-job work per iteration is budget-bounded.
 
 The robots.txt LOAD-filter logic (reference main/src/load_filters.rs:53-112)
-also lives here: it mutates per-job state (rules blob + stashed-root re-emit),
-so it belongs to the same per-job serial fold.
+also lives here: it mutates per-job state (rules blob + stashed-root
+re-emit), so it belongs to the same per-job serial fold.
 """
 
 from __future__ import annotations
+
+import itertools
 
 import pandas as pd
 
@@ -27,6 +33,17 @@ from crusty_core_spark.operators.chain import (
 from crusty_core_spark.plans.schemas import CHAIN_OUT, CHAIN_OUT_COLS
 
 _ALLOW_ALL = "User-agent: *\nAllow: /"
+
+_SCHED_COLS = ["job_id", "parent_seq_num", "url", "depth", "link_pos",
+               "action", "filter"]
+_TASK_COLS = ["job_id", "task_seq", "url", "host", "depth", "redirect",
+              "target", "marker", "rel", "parent_url", "parent_seq",
+              "link_pos"]
+_LINEAGE_COLS = ["job_id", "url", "seed_url", "depth", "discovered_by"]
+_STATE_COLS = ["job_id", "root_url", "root_host", "root_scheme",
+               "budget_used", "lpp_seq", "lpp_count", "robots_state",
+               "robots_rules", "stashed_root_url", "resp_counter",
+               "seq_counter"]
 
 
 def _nn(v, default=None):
@@ -41,142 +58,161 @@ def _nn(v, default=None):
     return v
 
 
-def _row(**kw) -> dict:
-    d = dict.fromkeys(CHAIN_OUT_COLS)
-    d.update(kw)
-    return d
-
-
 def make_chain_fn(cfg):
     user_agent = cfg.user_agent
 
-    def fn(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        job_id = int(key[0])
-        if len(right) == 0:
-            return pd.DataFrame(columns=CHAIN_OUT_COLS)
-        srow = {k: _nn(v) for k, v in right.iloc[0].to_dict().items()}
-        st = JobChainState.from_row(srow)
-        resp_counter = int(srow["resp_counter"])
-        seq_counter = int(srow["seq_counter"])
-        # in-batch dedup set; pre-seed with the robots URL if it was committed
-        # in an earlier pass (it is the only in-chain-generated committed URL
-        # that never appears in the bulk seen_global anti-join input)
-        st.seen = set()
-        if cfg.robots_txt and st.robots_state != "none":
-            st.seen.add(f"{st.root_scheme}://{st.root_host}/robots.txt")
+    def bucket_fn(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        sched_rows: list[tuple] = []
+        task_rows: list[tuple] = []
+        lineage_rows: list[tuple] = []
+        state_rows: list[tuple] = []
 
-        out: list[dict] = []
-
-        def run_batch(batch: list[Candidate], parent_seq_num: int,
-                      parent_url: str | None, parent_seq: int) -> None:
-            nonlocal seq_counter
-            for pos, c in enumerate(batch):
-                c.link_pos = pos
-                scheme = c.url.split(":", 1)[0]
-                if scheme not in ("http", "https"):
-                    # Task::new parse rejection (types.rs:477-480)
-                    out.append(_row(row_kind="sched", job_id=job_id,
-                                    parent_seq_num=parent_seq_num, url=c.url,
-                                    depth=c.depth, link_pos=pos,
-                                    action="rejected", filter="scheme"))
-                    continue
-                action, name, sched = chain_decide(c, st, cfg, parent_seq_num,
-                                                   user_agent)
-                out.append(_row(row_kind="sched", job_id=job_id,
-                                parent_seq_num=parent_seq_num, url=c.url,
-                                depth=c.depth, link_pos=pos, action=action,
-                                filter=name))
-                if action == "term":
-                    break  # take_while (task_scheduler.rs:92-97)
-                if action == "skip":
-                    continue
-                out.append(_row(row_kind="task", job_id=job_id,
-                                task_seq=seq_counter, url=sched.url,
-                                host=sched.host, depth=sched.depth,
-                                redirect=sched.redirect, target=sched.target,
-                                marker=sched.marker, rel=sched.rel,
-                                parent_url=parent_url, parent_seq=parent_seq,
-                                link_pos=pos))
-                out.append(_row(row_kind="lineage", job_id=job_id,
-                                url=sched.url, seed_url=st.root_url,
-                                depth=sched.depth, discovered_by=parent_url))
-                seq_counter += 1
-
+        by_job: dict[int, list] = {}
         if len(left):
-            resps = left[left["kind"] == "resp"].sort_values("task_seq")
-            cands = left[left["kind"] == "cand"]
-            roots = cands[cands["task_seq"] < 0].sort_values("link_pos")
-            by_parent = {
-                int(s): g.sort_values("link_pos")
-                for s, g in cands[cands["task_seq"] >= 0].groupby("task_seq")
-            }
+            ls = left.sort_values(["job_id", "kind", "task_seq", "link_pos"])
+            for j, rows in itertools.groupby(
+                ls.itertuples(index=False), key=lambda r: int(r.job_id)
+            ):
+                by_job[j] = list(rows)
 
-            # --- root scheduling (task_scheduler.rs:128-132, seq_num=0)
-            for r in roots.itertuples():
-                run_batch(
-                    [Candidate(url=r.url, host=r.host, rel=_nn(r.rel, ""),
-                               depth=int(r.depth), redirect=int(r.redirect),
-                               target=r.target, marker=int(r.marker),
-                               seen_global=bool(_nn(r.seen_global, False)))],
-                    parent_seq_num=0, parent_url=None, parent_seq=-1,
-                )
+        for srow in right.to_dict("records"):
+            job_id = int(srow["job_id"])
+            srow = {k: _nn(v) for k, v in srow.items()}
+            st = JobChainState.from_row(srow)
+            resp_counter = int(srow["resp_counter"])
+            seq_counter = int(srow["seq_counter"])
+            # in-batch dedup set; pre-seed with the robots URL if committed in
+            # an earlier pass (the only in-chain-generated committed URL that
+            # never appears in the bulk seen_global anti-join input)
+            st.seen = set()
+            if cfg.robots_txt and st.robots_state != "none":
+                st.seen.add(f"{st.root_scheme}://{st.root_host}/robots.txt")
 
-            # --- response processing in task_seq order
-            for r in resps.itertuples():
-                resp_counter += 1  # task_scheduler.rs:80
-                psn = resp_counter
-                batch: list[Candidate] = []
-                # robots.txt load filter (load_filters.rs:53-112)
-                if (
-                    cfg.robots_txt
-                    and int(r.marker) == 1
-                    and r.action == "processed"
-                ):
-                    status = int(_nn(r.status, 0))
-                    ctype = (_nn(r.content_type, "") or "").lower()
-                    rules = None
-                    if 400 <= status < 500:
-                        rules = _ALLOW_ALL  # (:82-84)
-                    elif "text/plain" not in ctype:
-                        rules = None  # quarantine: no matcher, no re-emit (:92-94)
-                    else:
-                        body = _nn(r.body)
-                        body = decode_body(
-                            bytes(body) if body is not None else b"",
-                            _nn(r.content_encoding),
-                        )
-                        rules = body.decode("utf-8", errors="replace")
-                    if rules is not None:
-                        st.robots_rules = rules
-                        st._matcher = None
-                        if st.stashed_root is not None:  # re-emit (:101-103)
-                            batch.append(st.stashed_root)
-                            st.stashed_root = None
-                pg = by_parent.get(int(r.task_seq))
-                if pg is not None:
-                    for c in pg.itertuples():
-                        batch.append(
-                            Candidate(url=c.url, host=c.host, rel=_nn(c.rel, ""),
-                                      depth=int(c.depth), redirect=int(c.redirect),
-                                      target=c.target, marker=int(c.marker),
-                                      seen_global=bool(_nn(c.seen_global, False)))
-                        )
-                run_batch(batch, psn, parent_url=r.url,
-                          parent_seq=int(r.task_seq))
+            def run_batch(batch, parent_seq_num, parent_url, parent_seq):
+                nonlocal seq_counter
+                for pos, c in enumerate(batch):
+                    c.link_pos = pos
+                    if not (c.url.startswith("http:")
+                            or c.url.startswith("https:")):
+                        # Task::new scheme rejection (types.rs:477-480)
+                        sched_rows.append((job_id, parent_seq_num, c.url,
+                                           c.depth, pos, "rejected", "scheme"))
+                        continue
+                    action, name, sched = chain_decide(
+                        c, st, cfg, parent_seq_num, user_agent
+                    )
+                    sched_rows.append((job_id, parent_seq_num, c.url, c.depth,
+                                       pos, action, name))
+                    if action == "term":
+                        break  # take_while (task_scheduler.rs:92-97)
+                    if action == "skip":
+                        continue
+                    task_rows.append((job_id, seq_counter, sched.url,
+                                      sched.host, sched.depth, sched.redirect,
+                                      sched.target, sched.marker, sched.rel,
+                                      parent_url, parent_seq, pos))
+                    lineage_rows.append((job_id, sched.url, st.root_url,
+                                         sched.depth, parent_url))
+                    seq_counter += 1
 
-        new_state = st.to_row()
-        out.append(_row(row_kind="state", job_id=job_id,
-                        resp_counter=resp_counter, seq_counter=seq_counter,
-                        **new_state))
-        return pd.DataFrame(out, columns=CHAIN_OUT_COLS)
+            rows = by_job.get(job_id)
+            if rows:
+                # sorted by (kind, task_seq, link_pos): cands before resps
+                cands = [r for r in rows if r.kind == "cand"]
+                resps = [r for r in rows if r.kind == "resp"]
+                roots = [r for r in cands if int(r.task_seq) < 0]
+                by_parent: dict[int, list] = {}
+                for r in cands:
+                    if int(r.task_seq) >= 0:
+                        by_parent.setdefault(int(r.task_seq), []).append(r)
 
-    return fn
+                def to_cand(r) -> Candidate:
+                    return Candidate(
+                        url=r.url, host=r.host, rel=_nn(r.rel, ""),
+                        depth=int(r.depth), redirect=int(r.redirect),
+                        target=r.target, marker=int(r.marker),
+                        seen_global=bool(_nn(r.seen_global, False)),
+                    )
+
+                # --- root scheduling (task_scheduler.rs:128-132, seq_num=0)
+                for r in roots:
+                    run_batch([to_cand(r)], 0, None, -1)
+
+                # --- response processing in task_seq order
+                for r in resps:
+                    resp_counter += 1  # task_scheduler.rs:80
+                    psn = resp_counter
+                    batch: list[Candidate] = []
+                    # robots.txt load filter (load_filters.rs:53-112)
+                    if (
+                        cfg.robots_txt
+                        and int(r.marker) == 1
+                        and r.action == "processed"
+                    ):
+                        status = int(_nn(r.status, 0))
+                        ctype = (_nn(r.content_type, "") or "").lower()
+                        rules = None
+                        if 400 <= status < 500:
+                            rules = _ALLOW_ALL  # (:82-84)
+                        elif "text/plain" not in ctype:
+                            rules = None  # quarantine (:92-94)
+                        else:
+                            body = _nn(r.body)
+                            body = decode_body(
+                                bytes(body) if body is not None else b"",
+                                _nn(r.content_encoding),
+                            )
+                            rules = body.decode("utf-8", errors="replace")
+                        if rules is not None:
+                            st.robots_rules = rules
+                            st._matcher = None
+                            if st.stashed_root is not None:  # re-emit (:101-103)
+                                batch.append(st.stashed_root)
+                                st.stashed_root = None
+                    for c in by_parent.get(int(r.task_seq), ()):
+                        batch.append(to_cand(c))
+                    run_batch(batch, psn, r.url, int(r.task_seq))
+
+            ns = st.to_row()
+            ns["resp_counter"] = resp_counter
+            ns["seq_counter"] = seq_counter
+            state_rows.append(tuple(job_id if c == "job_id" else ns[c]
+                                    for c in _STATE_COLS))
+
+        # columnar assembly: one small frame per row_kind, aligned to the
+        # wide CHAIN_OUT schema (absent columns are null)
+        frames = []
+        for kind, rows, cols in (
+            ("sched", sched_rows, _SCHED_COLS),
+            ("task", task_rows, _TASK_COLS),
+            ("lineage", lineage_rows, _LINEAGE_COLS),
+            ("state", state_rows, _STATE_COLS),
+        ):
+            if not rows:
+                continue
+            df = pd.DataFrame(rows, columns=cols)
+            df["row_kind"] = kind
+            frames.append(df)
+        if not frames:
+            return pd.DataFrame(columns=CHAIN_OUT_COLS)
+        out = pd.concat(frames, ignore_index=True)
+        return out.reindex(columns=CHAIN_OUT_COLS)
+
+    return bucket_fn
 
 
-def run_chain_stage(chain_input, job_state, cfg):
-    """chain_input (CHAIN_IN rows) × job_state (JOB_STATE rows) → CHAIN_OUT."""
+def run_chain_stage(chain_input, job_state, cfg, n_buckets: int = 128):
+    """chain_input (CHAIN_IN rows) × job_state (JOB_STATE rows) → CHAIN_OUT.
+
+    Jobs are hashed into ``n_buckets`` cogroup keys; exact per-job serial
+    semantics are preserved inside each bucket (jobs are independent)."""
+    from pyspark.sql import functions as F
+
+    b = lambda c: F.pmod(F.col(c), F.lit(n_buckets)).cast("int")  # noqa: E731
+    ci = chain_input.withColumn("_bucket", b("job_id"))
+    js = job_state.withColumn("_bucket", b("job_id"))
     return (
-        chain_input.groupBy("job_id")
-        .cogroup(job_state.groupBy("job_id"))
+        ci.groupBy("_bucket")
+        .cogroup(js.groupBy("_bucket"))
         .applyInPandas(make_chain_fn(cfg), schema=CHAIN_OUT)
     )

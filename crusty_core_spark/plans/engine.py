@@ -36,7 +36,7 @@ from pyspark.sql import Window as W
 
 from crusty_core_spark.config import CrawlConfig
 from crusty_core_spark.functions.canonicalize import canonicalize_udf, url_host
-from crusty_core_spark.functions.extract import extract_pages
+from crusty_core_spark.functions.extract import extract_pages_canonical
 from crusty_core_spark.operators.chain import FOLLOW_TARGETS
 from crusty_core_spark.operators.chain_stage import run_chain_stage
 from crusty_core_spark.plans import schemas as S
@@ -52,12 +52,16 @@ class CrawlEngine:
         pages: DataFrame,
         workdir: str,
         cfg: CrawlConfig | None = None,
+        hosts: DataFrame | None = None,
     ):
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
         self.pages = pages.select(
             *[c for c in PAGE_COLS if c in pages.columns]
         )
+        #: optional DNS dim table (host, addrs) — broadcast-joined per
+        #: iteration with the reserved-IP blacklist (operators/resolve.py)
+        self.hosts = hosts
         self.io = TableIO(spark, workdir)
 
     # ------------------------------------------------------------------ seed
@@ -115,26 +119,54 @@ class CrawlEngine:
         )
         chain_out = run_chain_stage(chain_input, job_state, self.cfg)
         chain_out.persist()
+        self._sched_counts = {
+            r["action"]: r["n"]
+            for r in chain_out.filter(F.col("row_kind") == "sched")
+            .groupBy("action").agg(F.count("*").alias("n")).collect()
+        }
         self._commit_chain_out(chain_out, it=0, remaining=None, fetch_log=None,
                                counts={})
         chain_out.unpersist()
-        self.io.set_state(iter=0, seeded=True, cfg=self.cfg.to_dict())
+        self.io.set_state(
+            iter=0,
+            seeded=True,
+            cfg=self.cfg.to_dict(),
+            pending=self._sched_counts.get("accept", 0),
+        )
         self.io.checkpoint("iter-000000")
 
     # ------------------------------------------------------------------ step
 
     def step(self) -> dict:
         """Run one crawl iteration; returns counters for the metrics table."""
+        import os
+
+        prof = os.environ.get("SPARK_CRAWL_PROFILE", "0") != "0"
+        deep = os.environ.get("SPARK_CRAWL_PROFILE") == "2"
+        marks: list[tuple[str, float]] = []
+
+        def mark(label):
+            if prof:
+                marks.append((label, time.time()))
+
+        def barrier(df, label):
+            if deep:
+                n = df.count()
+                marks.append((f"{label}[{n}]", time.time()))
+            return df
+
         t0 = time.time()
+        mark("start")
         cfg = self.cfg
         it = int(self.io.state["iter"]) + 1
         pending = self.io.read("frontier_pending")
-        due = pending.filter(F.col("next_fetch_iter") <= it)
-        not_due = pending.filter(F.col("next_fetch_iter") > it)
 
         # --- politeness ready-selection (task_processor.rs:388-398 as a
-        #     window rank; skipped entirely when delay is 0 — no shuffle)
+        #     window rank; skipped entirely when delay is 0 — with no delay
+        #     every pending row is due by construction, so no extra scan)
         if cfg.delay_ms > 0:
+            due = pending.filter(F.col("next_fetch_iter") <= it)
+            not_due = pending.filter(F.col("next_fetch_iter") > it)
             w = W.partitionBy("job_id", "host").orderBy("task_seq")
             ranked = due.withColumn("_rn", F.row_number().over(w))
             ready = ranked.filter(
@@ -144,10 +176,14 @@ class CrawlEngine:
                 ranked.filter(F.col("_rn") > cfg.concurrency_per_host).drop("_rn")
             )
         else:
-            ready = due
-            remaining = not_due
+            ready = pending
+            remaining = None
 
-        # --- fetch = equi-join against the pages universe
+        # --- resolve (broadcast hosts join + IP blacklist;
+        #     task_processor.rs:117-126) then fetch = equi-join vs pages
+        from crusty_core_spark.operators.resolve import resolve_ready
+
+        ready = resolve_ready(ready, self.hosts)
         fetched = ready.join(self.pages, on="url", how="left")
 
         # --- status filters + size cap, as bulk masks (exact stage order:
@@ -162,7 +198,8 @@ class CrawlEngine:
             "canon_location", F.when(is_redirect, canon_loc)
         ).withColumn(
             "action",
-            F.when(F.col("status").isNull(), F.lit("error:HttpError"))
+            F.when(F.col("resolve_failed"), F.lit("error:ResolveError"))
+            .when(F.col("status").isNull(), F.lit("error:HttpError"))
             .when(
                 is_redirect & (F.col("redirect") >= cfg.max_redirect),
                 F.lit("term:MaxRedirect"),
@@ -180,15 +217,19 @@ class CrawlEngine:
             .otherwise(F.lit("processed")),
         )
         fetched.persist()
+        barrier(fetched, "fetch+classify")
 
-        # --- parse + expand (FollowLinks, select_task_expanders.rs:37-51)
+        # --- parse + expand, fused with canonicalization — ONE Python
+        #     crossing (FollowLinks, select_task_expanders.rs:37-51 +
+        #     Link::new join/strip, types.rs:438-443)
         to_parse = fetched.filter(
             (F.col("action") == "processed")
             & F.col("target").isin(*FOLLOW_TARGETS)
         ).select(
             "job_id", "task_seq", "url", "depth", "html", "content_encoding"
         )
-        parsed = extract_pages(to_parse).persist()
+        parsed = extract_pages_canonical(to_parse, base_col="url").persist()
+        barrier(parsed, "extract")
 
         link = F.col("link")
         parsed_links = (
@@ -197,22 +238,17 @@ class CrawlEngine:
                 "task_seq",
                 F.col("url").alias("parent_url"),
                 "depth",
-                F.posexplode_outer("links").alias("pos", "link"),
+                F.explode("links_canon").alias("link"),
             )
-            .filter(link.isNotNull())
-            .withColumn(
-                "cand_url", canonicalize_udf(link["href"], F.col("parent_url"))
-            )
-            .filter(F.col("cand_url").isNotNull())
             .select(
                 "job_id",
                 "task_seq",
                 F.lit("cand").alias("kind"),
                 # document-order position; gaps after the null-drop are fine —
                 # the chain stage only sorts by it (no window shuffle needed)
-                F.col("pos").cast("int").alias("link_pos"),
-                F.col("cand_url").alias("url"),
-                url_host(F.col("cand_url")).alias("host"),
+                link["pos"].alias("link_pos"),
+                link["url"].alias("url"),
+                link["host"].alias("host"),
                 F.coalesce(link["rel"], F.lit("")).alias("rel"),
                 (F.col("depth") + 1).alias("depth"),  # Task::new types.rs:484
                 F.lit(0).alias("redirect"),
@@ -238,20 +274,31 @@ class CrawlEngine:
 
         cands = parsed_links.unionByName(redirect_cands)
 
-        # --- dedup check flag: bulk anti-join vs committed url_seen
-        #     (task_filters.rs:184-192; the commit stays inside the chain)
-        seen = self.io.read("url_seen").select(
-            "job_id", "url", F.lit(True).alias("seen_global")
-        )
+        # --- dedup check flag (task_filters.rs:184-192; commit stays in the
+        #     chain): Bloom-shard prefilter + exact backstop, or plain join
+        if cfg.use_bloom:
+            from crusty_core_spark.operators import bloom
+
+            cands = bloom.dedup_flag(
+                cands, self.io, cfg, self.io.read("url_seen")
+            )
+        else:
+            seen = self.io.read("url_seen").select(
+                "job_id", "url", F.lit(True).alias("seen_global")
+            )
+            cands = cands.join(seen, on=["job_id", "url"], how="left").withColumn(
+                "seen_global", F.coalesce("seen_global", F.lit(False))
+            )
         cands = (
-            cands.join(seen, on=["job_id", "url"], how="left")
-            .withColumn("seen_global", F.coalesce("seen_global", F.lit(False)))
+            cands
             .withColumn("status", F.lit(None).cast("int"))
             .withColumn("content_type", F.lit(None).cast("string"))
             .withColumn("content_encoding", F.lit(None).cast("string"))
             .withColumn("body", F.lit(None).cast("binary"))
             .withColumn("action", F.lit(None).cast("string"))
         )
+        cands.persist()  # feeds both the chain input and the n_links agg
+        barrier(cands, "cands+bloom+seen")
 
         # --- response rows (every ready task; robots rows carry their body)
         resp_rows = fetched.select(
@@ -280,65 +327,98 @@ class CrawlEngine:
             cands.select(*[f.name for f in resp_rows.schema.fields])
         )
 
-        # --- per-job chain replay; only touched jobs cross into Python
+        # --- per-job chain replay, bucketed (exact semantics per job,
+        #     parallel across buckets); untouched jobs pass through with
+        #     unchanged state
         job_state = self.io.read("job_state")
-        touched_jobs = chain_input.select("job_id").distinct()
-        js_touched = job_state.join(touched_jobs, "job_id", "left_semi")
-        js_untouched = job_state.join(touched_jobs, "job_id", "left_anti")
-        chain_out = run_chain_stage(chain_input, js_touched, self.cfg)
+        chain_out = run_chain_stage(chain_input, job_state, self.cfg)
         chain_out.persist()
+        barrier(chain_out, "chain")
 
-        # --- fetch_log rows (title + n_links folded in)
-        titles = parsed.select("job_id", "task_seq", "title")
-        n_links = parsed_links.groupBy("job_id", "task_seq").agg(
-            F.count("*").cast("int").alias("n_links")
+        # --- fetch_log rows (title + n_links folded in when detail is on)
+        base_log = fetched.select(
+            F.lit(it).alias("iter"),
+            "job_id",
+            "task_seq",
+            "url",
+            "depth",
+            "redirect",
+            "marker",
+            "status",
+            "action",
+            F.length("html").cast("long").alias("bytes"),
         )
-        fetch_log = (
-            fetched.select(
-                F.lit(it).alias("iter"),
-                "job_id",
-                "task_seq",
-                "url",
-                "depth",
-                "redirect",
-                "marker",
-                "status",
-                "action",
-                F.length("html").cast("long").alias("bytes"),
+        if cfg.fetch_log_detail:
+            titles = parsed.select("job_id", "task_seq", "title")
+            n_links = (
+                cands.filter(F.col("redirect") == 0)  # parsed links only
+                .groupBy("job_id", "task_seq")
+                .agg(F.count("*").cast("int").alias("n_links"))
             )
-            .join(titles, ["job_id", "task_seq"], "left")
-            .join(n_links, ["job_id", "task_seq"], "left")
-            .withColumn("n_links", F.coalesce("n_links", F.lit(0)))
-            .select(
-                "iter", "job_id", "task_seq", "url", "depth", "redirect",
-                "marker", "status", "action", "n_links", "title", "bytes",
+            fetch_log = (
+                base_log.join(titles, ["job_id", "task_seq"], "left")
+                .join(n_links, ["job_id", "task_seq"], "left")
+                .withColumn("n_links", F.coalesce("n_links", F.lit(0)))
             )
+        else:
+            fetch_log = base_log.withColumn(
+                "n_links", F.lit(0)
+            ).withColumn("title", F.lit(None).cast("string"))
+        fetch_log = fetch_log.select(
+            "iter", "job_id", "task_seq", "url", "depth", "redirect",
+            "marker", "status", "action", "n_links", "title", "bytes",
         )
 
-        counts = {
-            r["action"]: r["n"]
-            for r in fetched.groupBy("action").agg(F.count("*").alias("n")).collect()
+        # one collect for BOTH count families (fetch actions + sched actions)
+        count_rows = (
+            fetched.groupBy(F.lit("fetch").alias("fam"), "action")
+            .agg(F.count("*").alias("n"))
+            .unionByName(
+                chain_out.filter(F.col("row_kind") == "sched")
+                .groupBy(F.lit("sched").alias("fam"), "action")
+                .agg(F.count("*").alias("n"))
+            )
+            .collect()
+        )
+        counts = {r["action"]: r["n"] for r in count_rows if r["fam"] == "fetch"}
+        self._sched_counts = {
+            r["action"]: r["n"] for r in count_rows if r["fam"] == "sched"
         }
+        mark("materialize+counts")
         self._commit_chain_out(
             chain_out,
             it=it,
             remaining=remaining,
             fetch_log=fetch_log,
             counts=counts,
-            js_untouched=js_untouched,
             wall_ms=int((time.time() - t0) * 1000),
         )
+        mark("commit")
         chain_out.unpersist()
+        cands.unpersist()
         parsed.unpersist()
         fetched.unpersist()
-        self.io.set_state(iter=it)
+        n_ready = sum(counts.values())
+        pending = (
+            int(self.io.state.get("pending", 0))
+            - n_ready
+            + self._sched_counts.get("accept", 0)
+        )
+        self.io.set_state(iter=it, pending=pending)
         self.io.checkpoint(f"iter-{it:06d}")
+        if prof:
+            mark("checkpoint")
+            deltas = {
+                marks[i][0]: round(marks[i][1] - marks[i - 1][1], 2)
+                for i in range(1, len(marks))
+            }
+            print(f"[profile] iter={it} ready={n_ready} {deltas}", flush=True)
         return counts
 
     # ---------------------------------------------------------------- commit
 
     def _commit_chain_out(self, chain_out, it, remaining, fetch_log, counts,
-                          js_untouched=None, wall_ms=0):
+                          wall_ms=0):
         io = self.io
         tasks = chain_out.filter(F.col("row_kind") == "task").select(
             "job_id", "task_seq", "url", "host", "depth", "redirect", "target",
@@ -348,44 +428,65 @@ class CrawlEngine:
         )
         if remaining is not None:
             tasks = remaining.unionByName(tasks)
-        io.overwrite("frontier_pending", tasks)
-        # commit-last dedup semantics: the chain only emits fresh URLs,
-        # so a plain O(new) append IS the MERGE (task_filters.rs:199-211)
-        io.append(
-            "url_seen",
-            chain_out.filter(F.col("row_kind") == "task").select(
-                "job_id", "url", F.lit(it).cast("long").alias("added_iter")
-            ),
-        )
-        sched = chain_out.filter(F.col("row_kind") == "sched").select(
+        # one append covers sched_log + lineage (split lazily at read time —
+        # see sched_log_df()/lineage_df())
+        chain_log = chain_out.filter(
+            F.col("row_kind").isin("sched", "lineage")
+        ).select(
             F.lit(it).cast("long").alias("iter"),
-            "job_id", "parent_seq_num", "url", "depth", "link_pos", "action",
-            "filter",
+            "row_kind", "job_id", "parent_seq_num", "url", "depth", "link_pos",
+            "action", "filter", "seed_url", "discovered_by",
         )
-        io.append("sched_log", sched)
-        lineage = chain_out.filter(F.col("row_kind") == "lineage").select(
-            "job_id", "url", "seed_url", "depth", "discovered_by",
-            F.lit(it).cast("long").alias("iter"),
-        )
-        io.append("lineage", lineage)
         states = chain_out.filter(F.col("row_kind") == "state").select(
             "job_id", "root_url", "root_host", "root_scheme", "budget_used",
             "lpp_seq", "lpp_count", "robots_state", "robots_rules",
             "stashed_root_url", "resp_counter", "seq_counter",
         )
-        if js_untouched is not None:
-            states = js_untouched.unionByName(states)
-        io.overwrite("job_state", states)
-        if fetch_log is not None:
-            io.append("fetch_log", fetch_log)
 
-        sched_counts = {
-            (r["action"]): r["n"]
-            for r in chain_out.filter(F.col("row_kind") == "sched")
-            .groupBy("action").agg(F.count("*").alias("n")).collect()
-        }
+        def _bloom_update():
+            from crusty_core_spark.operators import bloom
+
+            bloom.update(
+                chain_out.filter(F.col("row_kind") == "task").select(
+                    "job_id", "url", "host"
+                ),
+                io,
+                self.cfg,
+            )
+
+        # independent tables → independent Spark jobs, issued concurrently
+        # (all read from the persisted chain_out; TableIO serializes manifest
+        # commits). Roughly halves per-iteration commit wall time.
+        writers = [
+            lambda: io.overwrite("frontier_pending", tasks),
+            # commit-last dedup semantics: the chain only emits fresh URLs,
+            # so a plain O(new) append IS the MERGE (task_filters.rs:199-211)
+            lambda: io.append(
+                "url_seen",
+                chain_out.filter(F.col("row_kind") == "task").select(
+                    "job_id", "url", F.lit(it).cast("long").alias("added_iter")
+                ),
+            ),
+            lambda: io.append("chain_log", chain_log),
+            lambda: io.overwrite("job_state", states),
+        ]
+        if self.cfg.use_bloom:
+            writers.append(_bloom_update)
+        if fetch_log is not None:
+            writers.append(lambda: io.append("fetch_log", fetch_log))
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(writers)) as ex:
+            futures = [ex.submit(w) for w in writers]
+            for f in futures:
+                f.result()  # propagate the first failure
+
+        # metrics accumulate in the manifest (checkpointed) and are
+        # materialized as a table by flush_metrics() — avoids a tiny table
+        # write per iteration
+        sched_counts = getattr(self, "_sched_counts", {})
         n_ready = sum(counts.values())
-        metrics_row = [(
+        row = [
             it,
             n_ready,
             counts.get("processed", 0),
@@ -396,15 +497,36 @@ class CrawlEngine:
             sched_counts.get("term", 0),
             0,
             wall_ms,
-        )]
-        io.append(
-            "metrics", self.spark.createDataFrame(metrics_row, S.METRICS)
-        )
+        ]
+        buf = list(io.state.get("metrics_buffer", []))
+        buf.append(row)
+        io.state["metrics_buffer"] = buf
 
-    # ------------------------------------------------------------------ run
+    # ----------------------------------------------------------- run/readers
 
     def pending_count(self) -> int:
-        return self.io.read("frontier_pending").count()
+        """Exact pending count (maintained arithmetically — no Spark job)."""
+        return int(self.io.state.get("pending", 0))
+
+    def sched_log_df(self) -> DataFrame:
+        return self.io.read("chain_log").filter(
+            F.col("row_kind") == "sched"
+        ).select("iter", "job_id", "parent_seq_num", "url", "depth",
+                 "link_pos", "action", "filter")
+
+    def lineage_df(self) -> DataFrame:
+        return self.io.read("chain_log").filter(
+            F.col("row_kind") == "lineage"
+        ).select("job_id", "url", "seed_url", "depth", "discovered_by", "iter")
+
+    def flush_metrics(self) -> DataFrame:
+        """Materialize the manifest-buffered per-iteration metrics as a table."""
+        buf = self.io.state.get("metrics_buffer", [])
+        df = self.spark.createDataFrame(
+            [tuple(r) for r in buf] or [], S.METRICS
+        )
+        self.io.overwrite("metrics", df)
+        return df
 
     def run(self, max_iterations: int | None = None) -> dict:
         cap = max_iterations or self.cfg.max_iterations
@@ -415,13 +537,14 @@ class CrawlEngine:
             counts = self.step()
             stats["iterations"] += 1
             stats["processed"] += sum(counts.values())
+        self.flush_metrics()
         return stats
 
     # ---------------------------------------------------------------- resume
 
     @classmethod
-    def resume(cls, spark: SparkSession, pages: DataFrame, workdir: str
-               ) -> "CrawlEngine":
+    def resume(cls, spark: SparkSession, pages: DataFrame, workdir: str,
+               hosts: DataFrame | None = None) -> "CrawlEngine":
         """Restore from the last complete checkpoint (kill-safe: a crash
         mid-iteration rolls back to the previous iteration's manifest)."""
         io = TableIO(spark, workdir)
@@ -430,4 +553,4 @@ class CrawlEngine:
             raise RuntimeError(f"no checkpoints under {workdir}")
         ck = io.restore(cks[-1])
         cfg = CrawlConfig.from_dict(ck["manifest"]["state"]["cfg"])
-        return cls(spark, pages, workdir, cfg)
+        return cls(spark, pages, workdir, cfg, hosts=hosts)

@@ -69,10 +69,13 @@ class ReferenceSimulator:
         pages: dict[str, dict],
         seeds: list[tuple[int, str]],
         cfg: CrawlConfig | None = None,
+        hosts: dict[str, list[str]] | None = None,
     ):
         self.pages = pages
         self.seeds = seeds
         self.cfg = cfg or CrawlConfig()
+        #: optional DNS table host→addrs; mirrors operators/resolve.py
+        self.hosts = hosts
 
     def run(self) -> SimResult:
         cfg = self.cfg
@@ -178,7 +181,16 @@ class ReferenceSimulator:
         n_links = 0
         title = None
         status = None
-        if page is None:
+        resolve_failed = False
+        if self.hosts is not None:
+            from crusty_core_spark.operators.resolve import ip_blacklisted
+
+            addrs = self.hosts.get(cand.host)
+            usable = [a for a in addrs or [] if not ip_blacklisted(a)]
+            resolve_failed = not usable
+        if resolve_failed:
+            action = "error:ResolveError"  # resolver.rs:72-106
+        elif page is None:
             action = "error:HttpError"  # fetch failure (no such row)
         else:
             status = int(page.get("status", 200))

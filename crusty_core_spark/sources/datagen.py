@@ -46,6 +46,7 @@ class CorpusSpec:
     n_hosts: int = 10
     base_pages_per_host: int = 20
     links_per_page: int = 6
+    words_per_page: int = 40  # body size knob (~6 bytes/word of HTML)
     cross_host_link_prob_pct: int = 10  # percent of links that go off-domain
     zipf_hot_host_factor: int = 1  # host 0 gets factor× pages (skew knob)
     gzip_prob_pct: int = 10
@@ -140,9 +141,12 @@ def _link_targets(spec: CorpusSpec, host_i: int, page_i: int) -> list[tuple[str,
 
 def _html_body(spec: CorpusSpec, host_i: int, page_i: int) -> bytes:
     links = _link_targets(spec, host_i, page_i)
+    n_words = spec.words_per_page // 2 + _h(spec.seed, "len", host_i, page_i) % max(
+        spec.words_per_page, 1
+    )
     words = [
         "w%d" % (_h(spec.seed, "word", host_i, page_i, i) % 500)
-        for i in range(20 + _h(spec.seed, "len", host_i, page_i) % 60)
+        for i in range(n_words)
     ]
     anchors = "\n".join(
         '<a href="%s"%s>link %d</a>'
@@ -227,6 +231,22 @@ def gen_robots_row(spec: CorpusSpec, host_i: int) -> dict:
         "content_encoding": None,
         "location": None,
     }
+
+
+def gen_hosts(spec: CorpusSpec) -> list[dict]:
+    """DNS dim table rows (FIXTURES.md §4): some hosts resolve to reserved
+    subnets to exercise the IP blacklist (resolver.rs:72-106,147-196)."""
+    rows = []
+    for h in range(spec.n_hosts):
+        r = _h(spec.seed, "dns", h)
+        if r % 11 == 3:  # all addrs reserved → resolve fails
+            addrs = ["10.0.0.%d" % (r % 250 + 1), "192.168.1.%d" % (r % 250 + 1)]
+        elif r % 11 == 4:  # mixed: one public survives
+            addrs = ["172.16.0.9", "93.184.216.%d" % (r % 250 + 1)]
+        else:
+            addrs = ["93.184.215.%d" % (r % 250 + 1)]
+        rows.append({"host": host_name(spec, h), "addrs": addrs})
+    return rows
 
 
 def gen_corpus(spec: CorpusSpec) -> tuple[list[dict], list[tuple[int, str]]]:

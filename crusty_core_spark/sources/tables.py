@@ -37,15 +37,21 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
 class TableIO:
+    """Thread-safe: commits from concurrent writer threads serialize on a
+    manifest lock (the engine issues independent table writes in parallel —
+    each is its own Spark job)."""
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self._lock = threading.RLock()
         os.makedirs(root, exist_ok=True)
         os.makedirs(os.path.join(root, "_checkpoints"), exist_ok=True)
         self._manifest_path = os.path.join(root, "_manifest.json")
@@ -103,20 +109,22 @@ class TableIO:
         return self.spark.read.schema(schema).parquet(*paths)
 
     def _write_dir(self, name: str, df: DataFrame) -> str:
-        t = self._tbl(name)
-        d = f"data-{t['next_dir']:06d}"
-        t["next_dir"] += 1
+        with self._lock:
+            t = self._tbl(name)
+            d = f"data-{t['next_dir']:06d}"
+            t["next_dir"] += 1
         df.write.mode("overwrite").parquet(os.path.join(self.root, name, d))
         return d
 
     def _commit(self, name: str, dirs: list[str], schema: T.StructType) -> int:
-        t = self._tbl(name)
-        t["current"] += 1
-        t["snapshots"][str(t["current"])] = dirs
-        if t["schema"] is None:
-            t["schema"] = schema.jsonValue()
-        self._write_manifest()
-        return t["current"]
+        with self._lock:
+            t = self._tbl(name)
+            t["current"] += 1
+            t["snapshots"][str(t["current"])] = dirs
+            if t["schema"] is None:
+                t["schema"] = schema.jsonValue()
+            self._write_manifest()
+            return t["current"]
 
     # ---------- operations ----------
 
@@ -126,10 +134,11 @@ class TableIO:
 
     def append(self, name: str, df: DataFrame) -> int:
         """O(new rows): writes only the appended data, extends the snapshot."""
-        t = self._tbl(name)
-        cur = list(t["snapshots"].get(str(t["current"]), []))
         d = self._write_dir(name, df)
-        return self._commit(name, cur + [d], df.schema)
+        with self._lock:
+            t = self._tbl(name)
+            cur = list(t["snapshots"].get(str(t["current"]), []))
+            return self._commit(name, cur + [d], df.schema)
 
     def merge_insert_new(self, name: str, df: DataFrame, key: str | list[str]) -> int:
         """MERGE ... WHEN NOT MATCHED THEN INSERT (dedup-set commit;

@@ -64,7 +64,7 @@ def assert_parity(sim, eng):
     # lineage parity (url → seed/depth/discovered_by)
     lin_e = sorted(
         (r.job_id, r.url, r.seed_url, r.depth, r.discovered_by)
-        for r in eng.io.read("lineage").collect()
+        for r in eng.lineage_df().collect()
     )
     lin_s = sorted(
         (r["job_id"], r["url"], r["seed_url"], r["depth"], r["discovered_by"])
