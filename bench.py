@@ -92,13 +92,13 @@ def bench_crawl(spark, n_hosts, pages_per_host, max_iters):
     warm.run(max_iterations=3)
 
     eng = CrawlEngine(spark, pages, os.path.join(tmp, "wd"),
-                  CrawlConfig(fetch_log_detail=False))
+                  CrawlConfig(fetch_log_detail=False, sched_log_detail=False))
     t0 = time.time()
     eng.seed(seeds)
     stats = eng.run(max_iterations=max_iters)
     wall = time.time() - t0
     processed = eng.io.read("fetch_log").count()
-    seen = eng.io.read("url_seen").count()
+    seen = eng.url_seen_df().count()
     shutil.rmtree(tmp, ignore_errors=True)
     return {
         "corpus_pages": n_pages,

@@ -45,6 +45,11 @@ class CrawlConfig:
     #: include title/n_links on fetch_log rows (costs two joins per
     #: iteration); crawl ordering/actions are complete either way
     fetch_log_detail: bool = True
+    #: per-candidate scheduling-decision rows in the chain log. True →
+    #: full audit trail (one row per candidate per filter decision); False →
+    #: per-bucket action counters only (the 5-10× larger candidate stream
+    #: never crosses back out of the chain stage — the big-bench mode)
+    sched_log_detail: bool = True
     seed: int = 42
 
     def to_dict(self) -> dict:

@@ -731,3 +731,72 @@ def q30(spark, sf):
     eng.seed([(j, f"http://h{j}.example/doc/{j * 25}") for j in range(6)])
     eng.run(max_iterations=3)
     return eng.io.read("fetch_log").orderBy("job_id", "task_seq")
+
+
+@q(
+    "q25_ann_ivf_buckets",
+    """
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+      FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, c.centroid_id,
+             ROUND(list_sum([x[1] * x[2] FOR x IN list_zip(e.embedding::DOUBLE[], c.cvec)])
+                   / (sqrt(list_sum([v * v FOR v IN e.embedding::DOUBLE[]]))
+                      * sqrt(list_sum([v * v FOR v IN c.cvec]))), 6) AS cos
+      FROM embeddings e, cents c),
+    assigned AS (
+      SELECT vec_id, centroid_id AS bucket FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, centroid_id) AS rn
+        FROM scored) WHERE rn = 1)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(vec_id) AS BIGINT) AS min_vec,
+           CAST(max(vec_id) AS BIGINT) AS max_vec
+    FROM assigned GROUP BY bucket
+    """,
+)
+def q25(spark, sf):
+    """IVF bucketing — the ANN scale path: vectors partition to their nearest
+    centroid; probes become equi-joins on bucket (functions/vectors.py)."""
+    e = _t(spark, sf, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    assigned = V.ivf_assign(e.select("vec_id", "embedding"), cents)
+    return assigned.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.min("vec_id").alias("min_vec"),
+        F.max("vec_id").alias("max_vec"),
+    )
+
+
+@q("q31_media_features", None)
+def q31(spark, sf):
+    """Multimodal plumbing over synthetic media derived from documents:
+    binary payloads + typed metadata → sniff → decode(stub) → features.
+    Deterministic fake decode (functions/multimodal.py) → rows-only check."""
+    from crusty_core_spark.functions import multimodal as M
+
+    d = _t(spark, sf, "documents").limit(200)
+    magic = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(b"\x89PNG\r\n"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(b"\xff\xd8\xff\xe0"))
+        .otherwise(F.lit(b"RIFF"))
+    )
+    payload = F.concat(magic, F.encode(F.substring("text", 1, 400), "utf-8"))
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit("http://media/"), F.col("doc_id")).alias("url"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("unknown").alias("media_type"),
+            F.lit("unknown").alias("format"),
+            F.length("text").cast("long").alias("bytes"),
+        ).alias("meta"),
+    )
+    feats = M.extract_media_features(media)
+    return feats.groupBy("media_type", "format").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(F.element_at("feature", 1)), 4).alias("avg_f0"),
+    )

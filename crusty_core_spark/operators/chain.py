@@ -59,6 +59,7 @@ class Candidate:
     parent_url: str | None = None
     parent_seq: int = -1  # task_seq of the parent task (-1 for roots)
     link_pos: int = 0  # position within the parent's candidate batch
+    priority: int = 0  # politeness-queue ordering key (lower = sooner)
     #: set by the engine from the bulk anti-join against the committed
     #: url_seen table (previous iterations); the simulator keeps the full
     #: set in ``st.seen`` instead, which is equivalent.
@@ -136,6 +137,7 @@ def chain_decide(
     cfg,
     parent_seq_num: int,
     user_agent: str,
+    custom_filters: tuple = (),
 ) -> tuple[str, str | None, Candidate | None]:
     """Run one candidate through the full filter chain.
 
@@ -230,7 +232,21 @@ def chain_decide(
             if m is None or not m.allowed(user_agent, cand.url):
                 return ("skip", "RobotsTxt", None)
 
-    # 8. custom filters — none in the default rules
+    # 8. custom filters (crawler.rs:137-139) — user extension point
+    #    (task_filters::Filter analogue, SURVEY §2.9): fn(cand, st) returns
+    #    "accept" | "skip" | ("term", reason); filter errors are non-fatal
+    #    and continue the chain (task_scheduler.rs:67-70)
+    for i, cf in enumerate(custom_filters):
+        try:
+            verdict = cf(scheduled, st)
+        except Exception:
+            continue
+        if verdict == "accept" or verdict is True or verdict is None:
+            continue
+        if verdict == "skip" or verdict is False:
+            return ("skip", f"custom:{getattr(cf, '__name__', i)}", None)
+        if isinstance(verdict, tuple) and verdict[0] == "term":
+            return ("term", verdict[1], None)
 
     # 9. HashSetDedup committing — LAST (crawler.rs:119-141, task_filters.rs:194)
     st.seen.add(scheduled.url)

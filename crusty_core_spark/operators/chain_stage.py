@@ -38,7 +38,7 @@ _SCHED_COLS = ["job_id", "parent_seq_num", "url", "depth", "link_pos",
                "action", "filter"]
 _TASK_COLS = ["job_id", "task_seq", "url", "host", "depth", "redirect",
               "target", "marker", "rel", "parent_url", "parent_seq",
-              "link_pos"]
+              "link_pos", "priority"]
 _LINEAGE_COLS = ["job_id", "url", "seed_url", "depth", "discovered_by"]
 _STATE_COLS = ["job_id", "root_url", "root_host", "root_scheme",
                "budget_used", "lpp_seq", "lpp_count", "robots_state",
@@ -58,14 +58,24 @@ def _nn(v, default=None):
     return v
 
 
-def make_chain_fn(cfg):
+def make_chain_fn(cfg, custom_filters: tuple = ()):
     user_agent = cfg.user_agent
+
+    detail = getattr(cfg, "sched_log_detail", True)
 
     def bucket_fn(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         sched_rows: list[tuple] = []
+        sched_counts: dict[str, int] = {}
         task_rows: list[tuple] = []
         lineage_rows: list[tuple] = []
         state_rows: list[tuple] = []
+
+        if detail:
+            def log_sched(job_id, psn, url, depth, pos, action, name):
+                sched_rows.append((job_id, psn, url, depth, pos, action, name))
+        else:
+            def log_sched(job_id, psn, url, depth, pos, action, name):
+                sched_counts[action] = sched_counts.get(action, 0) + 1
 
         by_job: dict[int, list] = {}
         if len(left):
@@ -95,14 +105,14 @@ def make_chain_fn(cfg):
                     if not (c.url.startswith("http:")
                             or c.url.startswith("https:")):
                         # Task::new scheme rejection (types.rs:477-480)
-                        sched_rows.append((job_id, parent_seq_num, c.url,
-                                           c.depth, pos, "rejected", "scheme"))
+                        log_sched(job_id, parent_seq_num, c.url, c.depth, pos,
+                                  "rejected", "scheme")
                         continue
                     action, name, sched = chain_decide(
-                        c, st, cfg, parent_seq_num, user_agent
+                        c, st, cfg, parent_seq_num, user_agent, custom_filters
                     )
-                    sched_rows.append((job_id, parent_seq_num, c.url, c.depth,
-                                       pos, action, name))
+                    log_sched(job_id, parent_seq_num, c.url, c.depth, pos,
+                              action, name)
                     if action == "term":
                         break  # take_while (task_scheduler.rs:92-97)
                     if action == "skip":
@@ -110,7 +120,8 @@ def make_chain_fn(cfg):
                     task_rows.append((job_id, seq_counter, sched.url,
                                       sched.host, sched.depth, sched.redirect,
                                       sched.target, sched.marker, sched.rel,
-                                      parent_url, parent_seq, pos))
+                                      parent_url, parent_seq, pos,
+                                      sched.priority))
                     lineage_rows.append((job_id, sched.url, st.root_url,
                                          sched.depth, parent_url))
                     seq_counter += 1
@@ -179,11 +190,19 @@ def make_chain_fn(cfg):
             state_rows.append(tuple(job_id if c == "job_id" else ns[c]
                                     for c in _STATE_COLS))
 
+        # counts-only mode: one row per (bucket, action) instead of one per
+        # candidate; count travels in parent_seq_num
+        count_rows = [
+            (-1, n, None, None, None, a, None)
+            for a, n in sched_counts.items()
+        ]
+
         # columnar assembly: one small frame per row_kind, aligned to the
         # wide CHAIN_OUT schema (absent columns are null)
         frames = []
         for kind, rows, cols in (
             ("sched", sched_rows, _SCHED_COLS),
+            ("sched_count", count_rows, _SCHED_COLS),
             ("task", task_rows, _TASK_COLS),
             ("lineage", lineage_rows, _LINEAGE_COLS),
             ("state", state_rows, _STATE_COLS),
@@ -201,7 +220,8 @@ def make_chain_fn(cfg):
     return bucket_fn
 
 
-def run_chain_stage(chain_input, job_state, cfg, n_buckets: int = 128):
+def run_chain_stage(chain_input, job_state, cfg, n_buckets: int = 128,
+                    custom_filters: tuple = ()):
     """chain_input (CHAIN_IN rows) × job_state (JOB_STATE rows) → CHAIN_OUT.
 
     Jobs are hashed into ``n_buckets`` cogroup keys; exact per-job serial
@@ -214,5 +234,5 @@ def run_chain_stage(chain_input, job_state, cfg, n_buckets: int = 128):
     return (
         ci.groupBy("_bucket")
         .cogroup(js.groupBy("_bucket"))
-        .applyInPandas(make_chain_fn(cfg), schema=CHAIN_OUT)
+        .applyInPandas(make_chain_fn(cfg, custom_filters), schema=CHAIN_OUT)
     )

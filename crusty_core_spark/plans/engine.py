@@ -53,6 +53,7 @@ class CrawlEngine:
         workdir: str,
         cfg: CrawlConfig | None = None,
         hosts: DataFrame | None = None,
+        custom_task_filters: tuple = (),
     ):
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
@@ -62,6 +63,10 @@ class CrawlEngine:
         #: optional DNS dim table (host, addrs) — broadcast-joined per
         #: iteration with the reserved-IP blacklist (operators/resolve.py)
         self.hosts = hosts
+        #: user task filters (reference custom filters, crawler.rs:137-139) —
+        #: picklable callables (cand, job_state) -> "accept"/"skip"/
+        #: ("term", reason); NOT persisted in the manifest — re-pass on resume
+        self.custom_task_filters = tuple(custom_task_filters)
         self.io = TableIO(spark, workdir)
 
     # ------------------------------------------------------------------ seed
@@ -117,12 +122,11 @@ class CrawlEngine:
             F.lit(None).cast("binary").alias("body"),
             F.lit(None).cast("string").alias("action"),
         )
-        chain_out = run_chain_stage(chain_input, job_state, self.cfg)
+        chain_out = run_chain_stage(chain_input, job_state, self.cfg,
+                                    custom_filters=self.custom_task_filters)
         chain_out.persist()
         self._sched_counts = {
-            r["action"]: r["n"]
-            for r in chain_out.filter(F.col("row_kind") == "sched")
-            .groupBy("action").agg(F.count("*").alias("n")).collect()
+            r["action"]: r["n"] for r in self._sched_agg(chain_out).collect()
         }
         self._commit_chain_out(chain_out, it=0, remaining=None, fetch_log=None,
                                counts={})
@@ -134,6 +138,22 @@ class CrawlEngine:
             pending=self._sched_counts.get("accept", 0),
         )
         self.io.checkpoint("iter-000000")
+
+
+    def _sched_agg(self, chain_out, fam="sched"):
+        """Per-action scheduling counts — from detail rows or from the
+        counts-only rows, depending on cfg.sched_log_detail."""
+        if self.cfg.sched_log_detail:
+            return (
+                chain_out.filter(F.col("row_kind") == "sched")
+                .groupBy(F.lit(fam).alias("fam"), "action")
+                .agg(F.count("*").alias("n"))
+            )
+        return (
+            chain_out.filter(F.col("row_kind") == "sched_count")
+            .groupBy(F.lit(fam).alias("fam"), "action")
+            .agg(F.sum("parent_seq_num").cast("long").alias("n"))
+        )
 
     # ------------------------------------------------------------------ step
 
@@ -159,7 +179,7 @@ class CrawlEngine:
         mark("start")
         cfg = self.cfg
         it = int(self.io.state["iter"]) + 1
-        pending = self.io.read("frontier_pending")
+        pending = self._pending_df(it)
 
         # --- politeness ready-selection (task_processor.rs:388-398 as a
         #     window rank; skipped entirely when delay is 0 — with no delay
@@ -167,7 +187,7 @@ class CrawlEngine:
         if cfg.delay_ms > 0:
             due = pending.filter(F.col("next_fetch_iter") <= it)
             not_due = pending.filter(F.col("next_fetch_iter") > it)
-            w = W.partitionBy("job_id", "host").orderBy("task_seq")
+            w = W.partitionBy("job_id", "host").orderBy("priority", "task_seq")
             ranked = due.withColumn("_rn", F.row_number().over(w))
             ready = ranked.filter(
                 F.col("_rn") <= cfg.concurrency_per_host
@@ -279,11 +299,9 @@ class CrawlEngine:
         if cfg.use_bloom:
             from crusty_core_spark.operators import bloom
 
-            cands = bloom.dedup_flag(
-                cands, self.io, cfg, self.io.read("url_seen")
-            )
+            cands = bloom.dedup_flag(cands, self.io, cfg, self.url_seen_df())
         else:
-            seen = self.io.read("url_seen").select(
+            seen = self.url_seen_df().select(
                 "job_id", "url", F.lit(True).alias("seen_global")
             )
             cands = cands.join(seen, on=["job_id", "url"], how="left").withColumn(
@@ -330,8 +348,9 @@ class CrawlEngine:
         # --- per-job chain replay, bucketed (exact semantics per job,
         #     parallel across buckets); untouched jobs pass through with
         #     unchanged state
-        job_state = self.io.read("job_state")
-        chain_out = run_chain_stage(chain_input, job_state, self.cfg)
+        job_state = self._job_state_df()
+        chain_out = run_chain_stage(chain_input, job_state, self.cfg,
+                                    custom_filters=self.custom_task_filters)
         chain_out.persist()
         barrier(chain_out, "chain")
 
@@ -373,11 +392,7 @@ class CrawlEngine:
         count_rows = (
             fetched.groupBy(F.lit("fetch").alias("fam"), "action")
             .agg(F.count("*").alias("n"))
-            .unionByName(
-                chain_out.filter(F.col("row_kind") == "sched")
-                .groupBy(F.lit("sched").alias("fam"), "action")
-                .agg(F.count("*").alias("n"))
-            )
+            .unionByName(self._sched_agg(chain_out))
             .collect()
         )
         counts = {r["action"]: r["n"] for r in count_rows if r["fam"] == "fetch"}
@@ -419,29 +434,14 @@ class CrawlEngine:
 
     def _commit_chain_out(self, chain_out, it, remaining, fetch_log, counts,
                           wall_ms=0):
+        """Commit an iteration: ONE append of the full chain output carries
+        the new frontier tasks, scheduling log, lineage, AND job states
+        (split lazily at read time — _pending_df/_job_state_df/url_seen_df/
+        sched_log_df/lineage_df). The dedup commit-last semantics hold
+        because the chain only emits fresh URLs, so the append IS the MERGE
+        (task_filters.rs:199-211). Fewer write jobs per iteration = lower
+        serial floor = better N→4N scaling."""
         io = self.io
-        tasks = chain_out.filter(F.col("row_kind") == "task").select(
-            "job_id", "task_seq", "url", "host", "depth", "redirect", "target",
-            "marker", "rel", "parent_url", "parent_seq", "link_pos",
-            F.lit(it + 1).cast("long").alias("next_fetch_iter"),
-            F.lit(it).cast("long").alias("added_iter"),
-        )
-        if remaining is not None:
-            tasks = remaining.unionByName(tasks)
-        # one append covers sched_log + lineage (split lazily at read time —
-        # see sched_log_df()/lineage_df())
-        chain_log = chain_out.filter(
-            F.col("row_kind").isin("sched", "lineage")
-        ).select(
-            F.lit(it).cast("long").alias("iter"),
-            "row_kind", "job_id", "parent_seq_num", "url", "depth", "link_pos",
-            "action", "filter", "seed_url", "discovered_by",
-        )
-        states = chain_out.filter(F.col("row_kind") == "state").select(
-            "job_id", "root_url", "root_host", "root_scheme", "budget_used",
-            "lpp_seq", "lpp_count", "robots_state", "robots_rules",
-            "stashed_root_url", "resp_counter", "seq_counter",
-        )
 
         def _bloom_update():
             from crusty_core_spark.operators import bloom
@@ -454,28 +454,28 @@ class CrawlEngine:
                 self.cfg,
             )
 
-        # independent tables → independent Spark jobs, issued concurrently
-        # (all read from the persisted chain_out; TableIO serializes manifest
-        # commits). Roughly halves per-iteration commit wall time.
         writers = [
-            lambda: io.overwrite("frontier_pending", tasks),
-            # commit-last dedup semantics: the chain only emits fresh URLs,
-            # so a plain O(new) append IS the MERGE (task_filters.rs:199-211)
             lambda: io.append(
-                "url_seen",
-                chain_out.filter(F.col("row_kind") == "task").select(
-                    "job_id", "url", F.lit(it).cast("long").alias("added_iter")
-                ),
+                "chain", chain_out.withColumn("iter", F.lit(it).cast("long"))
             ),
-            lambda: io.append("chain_log", chain_log),
-            lambda: io.overwrite("job_state", states),
         ]
+        if self.cfg.delay_ms > 0:
+            # politeness mode keeps an explicit compact queue (leftover ∪ new)
+            tasks = self._tasks_slice(chain_out, it)
+            if remaining is not None:
+                tasks = remaining.unionByName(tasks)
+            writers.append(
+                lambda: io.overwrite("frontier_pending", tasks)
+            )
         if self.cfg.use_bloom:
             writers.append(_bloom_update)
         if fetch_log is not None:
             writers.append(lambda: io.append("fetch_log", fetch_log))
         from concurrent.futures import ThreadPoolExecutor
 
+        # independent tables → independent Spark jobs, issued concurrently
+        # (all read from the persisted chain_out; TableIO serializes manifest
+        # commits)
         with ThreadPoolExecutor(max_workers=len(writers)) as ex:
             futures = [ex.submit(w) for w in writers]
             for f in futures:
@@ -504,18 +504,55 @@ class CrawlEngine:
 
     # ----------------------------------------------------------- run/readers
 
+    def _tasks_slice(self, chain_out, it) -> DataFrame:
+        return chain_out.filter(F.col("row_kind") == "task").select(
+            "job_id", "task_seq", "url", "host", "depth", "redirect",
+            "target", "marker", "rel", "parent_url", "parent_seq",
+            "link_pos", "priority",
+            F.lit(it + 1).cast("long").alias("next_fetch_iter"),
+            F.lit(it).cast("long").alias("added_iter"),
+        )
+
+    def _pending_df(self, it: int) -> DataFrame:
+        """The live work queue. delay=0: exactly the tasks accepted last
+        iteration (one data dir); politeness mode: the explicit compact
+        frontier_pending table."""
+        if self.cfg.delay_ms > 0:
+            return self.io.read("frontier_pending")
+        last = self.io.read_last_append("chain")
+        return self._tasks_slice(
+            last.filter(F.col("row_kind") == "task"),
+            it - 1,
+        )
+
+    def _job_state_df(self) -> DataFrame:
+        return self.io.read_last_append("chain").filter(
+            F.col("row_kind") == "state"
+        ).select(
+            "job_id", "root_url", "root_host", "root_scheme", "budget_used",
+            "lpp_seq", "lpp_count", "robots_state", "robots_rules",
+            "stashed_root_url", "resp_counter", "seq_counter",
+        )
+
+    def url_seen_df(self) -> DataFrame:
+        """The committed URL-seen set (commit-last semantics, one row per
+        (job_id, url))."""
+        return self.io.read("chain").filter(
+            F.col("row_kind") == "task"
+        ).select("job_id", "url", F.col("iter").alias("added_iter"))
+
     def pending_count(self) -> int:
         """Exact pending count (maintained arithmetically — no Spark job)."""
         return int(self.io.state.get("pending", 0))
 
     def sched_log_df(self) -> DataFrame:
-        return self.io.read("chain_log").filter(
+        return self.io.read("chain").filter(
             F.col("row_kind") == "sched"
         ).select("iter", "job_id", "parent_seq_num", "url", "depth",
                  "link_pos", "action", "filter")
 
     def lineage_df(self) -> DataFrame:
-        return self.io.read("chain_log").filter(
+        return self.io.read("chain").filter(
             F.col("row_kind") == "lineage"
         ).select("job_id", "url", "seed_url", "depth", "discovered_by", "iter")
 

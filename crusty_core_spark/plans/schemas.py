@@ -3,7 +3,8 @@
 FRONTIER = (
     "job_id long, task_seq long, url string, host string, depth int, "
     "redirect int, target string, marker int, rel string, parent_url string, "
-    "parent_seq long, link_pos int, next_fetch_iter long, added_iter long"
+    "parent_seq long, link_pos int, priority int, next_fetch_iter long, "
+    "added_iter long"
 )
 
 JOB_STATE = (
@@ -48,7 +49,7 @@ CHAIN_IN = (
 CHAIN_OUT = (
     "row_kind string, job_id long, task_seq long, url string, host string, "
     "depth int, redirect int, target string, marker int, rel string, "
-    "parent_url string, parent_seq long, link_pos int, action string, "
+    "parent_url string, parent_seq long, link_pos int, priority int, action string, "
     "filter string, parent_seq_num long, "
     "root_url string, root_host string, root_scheme string, "
     "budget_used long, lpp_seq long, lpp_count long, robots_state string, "

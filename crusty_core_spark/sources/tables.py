@@ -108,6 +108,20 @@ class TableIO:
         paths = [os.path.join(self.root, name, d) for d in dirs]
         return self.spark.read.schema(schema).parquet(*paths)
 
+    def read_last_append(self, name: str) -> DataFrame:
+        """Only the rows added by the most recent append/overwrite of the
+        current snapshot — O(1 data dir), used for 'latest iteration' reads."""
+        t = self._tbl(name)
+        dirs = t["snapshots"].get(str(t["current"]))
+        if not dirs:
+            return self.spark.createDataFrame(
+                [], T.StructType.fromJson(t["schema"])
+            )
+        schema = T.StructType.fromJson(t["schema"])
+        return self.spark.read.schema(schema).parquet(
+            os.path.join(self.root, name, dirs[-1])
+        )
+
     def _write_dir(self, name: str, df: DataFrame) -> str:
         with self._lock:
             t = self._tbl(name)

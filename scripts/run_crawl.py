@@ -24,6 +24,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", required=True)
     ap.add_argument("--seeds")
+    ap.add_argument("--hosts", help="optional DNS dim table parquet (host, addrs)")
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--max-iterations", type=int, default=None)
@@ -37,12 +38,13 @@ def main():
     spark = SparkSession.builder.appName("crusty_core_spark.crawl").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     pages = spark.read.parquet(args.pages)
+    hosts = spark.read.parquet(args.hosts) if args.hosts else None
 
     if args.resume:
-        eng = CrawlEngine.resume(spark, pages, args.workdir)
+        eng = CrawlEngine.resume(spark, pages, args.workdir, hosts=hosts)
     else:
         cfg = CrawlConfig(**json.loads(args.config_json))
-        eng = CrawlEngine(spark, pages, args.workdir, cfg)
+        eng = CrawlEngine(spark, pages, args.workdir, cfg, hosts=hosts)
         seeds = spark.read.parquet(args.seeds)
         eng.seed(seeds)
 
@@ -50,7 +52,7 @@ def main():
     print(json.dumps({
         "stats": stats,
         "fetch_log_rows": eng.io.read("fetch_log").count(),
-        "url_seen": eng.io.read("url_seen").count(),
+        "url_seen": eng.url_seen_df().count(),
     }))
 
 

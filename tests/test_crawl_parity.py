@@ -51,7 +51,7 @@ def crawl_order_sim(sim):
 
 def url_seen_engine(eng):
     out = {}
-    for r in eng.io.read("url_seen").collect():
+    for r in eng.url_seen_df().collect():
         out.setdefault(r.job_id, set()).add(r.url)
     return {j: sorted(v) for j, v in out.items()}
 

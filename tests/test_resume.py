@@ -39,7 +39,7 @@ def test_resume_identical(spark, workdir, tmp_path):
         )
 
     def seen(e):
-        return sorted((r.job_id, r.url) for r in e.io.read("url_seen").collect())
+        return sorted((r.job_id, r.url) for r in e.url_seen_df().collect())
 
     assert order(full) == order(resumed)
     assert seen(full) == seen(resumed)
