@@ -43,6 +43,32 @@ def _dec_sum(col, scale: int = 4):
 QUERIES: dict[str, tuple] = {}
 
 
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine(a, b) rounded to 6 — the exact twin of vectors.cosine."""
+    return (
+        f"ROUND(list_sum([x[1] * x[2] FOR x IN list_zip({a}, {b})])"
+        f" / (sqrt(list_sum([v * v FOR v IN {a}]))"
+        f" * sqrt(list_sum([v * v FOR v IN {b}]))), 6)"
+    )
+
+
+# DuckDB CTEs for IVF nearest-centroid assignment (centroids = vec_id < 8),
+# the exact twin of vectors.ivf_assign with the same rounding + tie-break.
+_IVF_ASSIGN_CTES = """
+    cents AS (
+      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+      FROM embeddings WHERE vec_id < 8),
+    cscored AS (
+      SELECT e.vec_id, c.centroid_id, {cos} AS cos
+      FROM embeddings e, cents c),
+    assigned AS (
+      SELECT vec_id, centroid_id AS bucket FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, centroid_id) AS rn
+        FROM cscored) WHERE rn = 1)
+""".format(cos=_cos_sql("e.embedding::DOUBLE[]", "c.cvec"))
+
+
 def q(name: str, sql: str | None):
     def deco(fn):
         QUERIES[name] = (fn, sql)
@@ -521,26 +547,43 @@ QUERIES["q16_lsh_candidate_pairs"] = (
 @q(
     "q17_ngram_jaccard",
     """
-    WITH sh AS (
-      SELECT doc_id, source, sh AS shingle,
-             len(shingles) AS n_sh
-      FROM (SELECT doc_id, source, {sh} AS shingles FROM documents),
+    WITH sig AS (
+      SELECT doc_id, {sig} AS signature FROM documents),
+    banded AS (
+      SELECT doc_id, unnest({bands}) AS band_key
+      FROM (SELECT doc_id, signature FROM sig)),
+    cands AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM banded l JOIN banded r ON l.band_key = r.band_key
+      WHERE l.doc_id < r.doc_id),
+    sh AS (
+      SELECT doc_id, sh AS shingle, len(shingles) AS n_sh
+      FROM (SELECT doc_id, {sh} AS shingles FROM documents),
            unnest(shingles) AS u(sh)),
     inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+      SELECT c.doc_a, c.doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
              count(*) AS n_inter
-      FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle
-      WHERE a.doc_id < b.doc_id
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
       GROUP BY 1, 2, 3, 4)
     SELECT doc_a, doc_b,
            ROUND(n_inter * 1.0 / (n_a + n_b - n_inter), 6) AS jaccard
     FROM inter
     WHERE ROUND(n_inter * 1.0 / (n_a + n_b - n_inter), 6) >= 0.05
-    """.format(sh=D.word_shingles_sql("text", 2)),
+    """.format(
+        sig=D.minhash_signature_sql(D.word_shingles_sql("text", 2), 8),
+        bands=D.lsh_band_keys_sql("signature", 4, 2),
+        sh=D.word_shingles_sql("text", 2),
+    ),
 )
 def q17(spark, sf):
+    """Exact Jaccard verification routed through the LSH candidate blocks
+    (the sub-quadratic scale path) — not a metadata-column blocking join."""
     d = _t(spark, sf, "documents")
-    return D.jaccard_pairs(d, "doc_id", "text", "source", k=2, threshold=0.05)
+    return D.jaccard_pairs_lsh(
+        d, "doc_id", "text", k=2, num_hashes=8, bands=4, threshold=0.05
+    )
 
 
 @q(
@@ -571,28 +614,38 @@ def q18(spark, sf):
 @q(
     "q19_embed_neardup_pairs",
     """
-    SELECT a.label, CAST(count(*) AS BIGINT) AS n_pairs
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE ROUND(list_sum([x[1] * x[2] FOR x IN list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[])])
-                / (sqrt(list_sum([v * v FOR v IN a.embedding::DOUBLE[]]))
-                   * sqrt(list_sum([v * v FOR v IN b.embedding::DOUBLE[]]))), 6) >= 0.3
-    GROUP BY a.label
-    """,
+    WITH {ivf},
+    v AS (
+      SELECT e.vec_id, e.embedding, s.bucket
+      FROM embeddings e JOIN assigned s ON e.vec_id = s.vec_id)
+    SELECT v1.bucket AS bucket, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM v v1 JOIN v v2 ON v1.bucket = v2.bucket AND v1.vec_id < v2.vec_id
+    WHERE {cos} >= 0.3
+    GROUP BY v1.bucket
+    """.format(
+        ivf=_IVF_ASSIGN_CTES,
+        cos=_cos_sql("v1.embedding::DOUBLE[]", "v2.embedding::DOUBLE[]"),
+    ),
 )
 def q19(spark, sf):
+    """Embedding near-dup pairs blocked by IVF bucket (the scale path —
+    pair space is bounded by the bucket size, not a metadata column)."""
     e = _t(spark, sf, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    assigned = V.ivf_assign(e.select("vec_id", "embedding"), cents)
+    a = assigned.alias("a")
+    b = assigned.alias("b")
     cos = F.round(V.cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
     return (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label"))
+            (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .filter(cos >= 0.3)
-        .groupBy(F.col("a.label").alias("label"))
+        .groupBy(F.col("a.bucket").alias("bucket"))
         .agg(F.count("*").alias("n_pairs"))
     )
 
@@ -768,6 +821,183 @@ def q25(spark, sf):
         F.count("*").alias("n"),
         F.min("vec_id").alias("min_vec"),
         F.max("vec_id").alias("max_vec"),
+    )
+
+
+@q(
+    "q33_ann_ivf_probe",
+    """
+    WITH {ivf},
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+          FROM embeddings WHERE vec_id < 5),
+    qscored AS (
+      SELECT q.query_id, c.centroid_id, {qcos} AS cos
+      FROM q, cents c),
+    qassigned AS (
+      SELECT query_id, centroid_id AS bucket FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, centroid_id) AS rn
+        FROM qscored) WHERE rn = 1),
+    probe AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, {pcos} AS cos
+      FROM embeddings e
+      JOIN assigned s ON e.vec_id = s.vec_id
+      JOIN qassigned qa ON s.bucket = qa.bucket
+      JOIN q ON q.query_id = qa.query_id
+      WHERE e.vec_id != q.query_id)
+    SELECT query_id, rank, neighbor_id, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM probe) WHERE rank <= 3
+    """.format(
+        ivf=_IVF_ASSIGN_CTES,
+        qcos=_cos_sql("q.qvec", "c.cvec"),
+        pcos=_cos_sql("e.embedding::DOUBLE[]", "q.qvec"),
+    ),
+)
+def q33(spark, sf):
+    """End-to-end IVF-bucketed ANN probe (the 100 TB path): queries and
+    vectors are both assigned to their nearest centroid, the probe is an
+    equi-join on bucket (touches ~N/C candidates per query instead of N),
+    then window-rank top-k. Recall tradeoff vs q18 is the standard IVF one;
+    nprobe=1 here."""
+    e = _t(spark, sf, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return V.ivf_probe_topk(
+        e.select("vec_id", "embedding"), queries, cents, k=3
+    )
+
+
+# ---------------------------------------------------------------------
+# Crawl-output oracle queries: q30 is rows-only (stateful iterative crawl),
+# but its OUTPUT is plain data — materialize one deterministic 3-iteration
+# crawl per sf as parquet, then hash-check aggregate queries over it against
+# DuckDB reading the very same files. This upgrades the crawl territory
+# from rows-only to value-hash-checked coverage (ordering, actions, depths,
+# budgets all feed the aggregates).
+# ---------------------------------------------------------------------
+
+_CRAWL_ORACLE_ROOT = "/dev/shm/crusty_entry_crawl"
+
+
+def _crawl_output_dir(sf: str) -> str:
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf))
+    return f"{_CRAWL_ORACLE_ROOT}_{tag}"
+
+
+def _ensure_crawl_output(spark, sf) -> str:
+    """Run the deterministic q30 crawl once per sf dir and materialize its
+    fetch_log + lineage as single parquet files for DuckDB to read."""
+    import os
+    import shutil
+    import tempfile
+
+    from crusty_core_spark.config import CrawlConfig
+    from crusty_core_spark.plans.engine import CrawlEngine
+
+    out = _crawl_output_dir(sf)
+    if os.path.exists(os.path.join(out, "_done")):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    pages = _crawl_corpus_from_documents(spark, sf)
+    wd = tempfile.mkdtemp(prefix="entry_crawl_oracle_")
+    cfg = CrawlConfig(page_budget=10, max_iterations=3)
+    eng = CrawlEngine(spark, pages, wd, cfg)
+    eng.seed([(j, f"http://h{j}.example/doc/{j * 25}") for j in range(6)])
+    eng.run(max_iterations=3)
+    eng.io.read("fetch_log").coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "fetch_log")
+    )
+    eng.lineage_df().coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "lineage")
+    )
+    shutil.rmtree(wd, ignore_errors=True)
+    with open(os.path.join(out, "_done"), "w") as f:
+        f.write("ok")
+    return out
+
+
+# the driver's oracle gate runs at sf0.01 (Spark side executes first and
+# materializes the files the SQL reads)
+_CRAWL01 = _crawl_output_dir("/root/testdata/sf0.01")
+
+
+@q(
+    "q32_crawl_actions_by_iter",
+    f"""
+    SELECT iter, action, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(bytes) AS BIGINT) AS sum_bytes,
+           CAST(max(depth) AS INTEGER) AS max_depth
+    FROM read_parquet('{_CRAWL01}/fetch_log/*.parquet')
+    GROUP BY iter, action
+    """,
+)
+def q32(spark, sf):
+    """Per-iteration fetch-action rollup over the materialized deterministic
+    crawl (crawl ordering/actions become hash-checked aggregates)."""
+    out = _ensure_crawl_output(spark, sf)
+    log = spark.read.parquet(f"{out}/fetch_log")
+    return log.groupBy("iter", "action").agg(
+        F.count("*").alias("n"),
+        F.sum("bytes").alias("sum_bytes"),
+        F.max("depth").alias("max_depth"),
+    )
+
+
+@q(
+    "q34_crawl_depth_histogram",
+    f"""
+    SELECT job_id, depth, CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(min(task_seq) AS BIGINT) AS first_seq,
+           CAST(max(task_seq) AS BIGINT) AS last_seq
+    FROM read_parquet('{_CRAWL01}/fetch_log/*.parquet')
+    WHERE action = 'processed'
+    GROUP BY job_id, depth
+    """,
+)
+def q34(spark, sf):
+    """BFS-depth histogram per job over the crawl output (PageLevel/budget
+    semantics surface as exact task_seq ranges per depth)."""
+    out = _ensure_crawl_output(spark, sf)
+    log = spark.read.parquet(f"{out}/fetch_log")
+    return (
+        log.filter(F.col("action") == "processed")
+        .groupBy("job_id", "depth")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.min("task_seq").alias("first_seq"),
+            F.max("task_seq").alias("last_seq"),
+        )
+    )
+
+
+@q(
+    "q35_crawl_lineage_fanout",
+    f"""
+    SELECT l.job_id,
+           CAST(count(*) AS BIGINT) AS n_links,
+           CAST(count(DISTINCT l.discovered_by) AS BIGINT) AS n_parents,
+           CAST(max(l.depth) AS INTEGER) AS max_depth
+    FROM read_parquet('{_CRAWL01}/lineage/*.parquet') l
+    GROUP BY l.job_id
+    """,
+)
+def q35(spark, sf):
+    """Per-seed lineage fan-out (seed → depth → discovered-by) over the
+    crawl's lineage table."""
+    out = _ensure_crawl_output(spark, sf)
+    lin = spark.read.parquet(f"{out}/lineage")
+    return lin.groupBy("job_id").agg(
+        F.count("*").alias("n_links"),
+        F.countDistinct("discovered_by").alias("n_parents"),
+        F.max("depth").alias("max_depth"),
     )
 
 

@@ -117,10 +117,32 @@ def lsh_candidate_pairs(
     band_key → in-bucket self-join → distinct. No cross join anywhere.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(word_shingles(F.col(text_col), k), num_hashes)
-    banded = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(lsh_band_keys(sig, bands, rows_per_band)).alias("band_key"),
+    # Materialize the signature: without boundaries, CollapseProject
+    # re-inlines the full shingle/minhash subtree into every element_at of
+    # every band key AND both self-join sides — a Catalyst expression-tree
+    # blowup (measured 80x slower). Stage 1 computes the shingle array once
+    # (the repartition is an exchange boundary, so the 8 minhash lambdas
+    # reference the stored `_sh` attribute instead of 8 inlined copies);
+    # stage 2 persists doc->signature so the banded self-join computes the
+    # signatures exactly once. At corpus scale the persisted relation is
+    # ~50 bytes/doc (id + 8 md5 hex) — MEMORY_AND_DISK is safe.
+    sig_df = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            word_shingles(F.col(text_col), k).alias("_sh"),
+        )
+        .repartition(F.col("doc"))
+        .select(
+            "doc",
+            minhash_signature(F.col("_sh"), num_hashes).alias("sig"),
+        )
+        .persist()
+    )
+    banded = sig_df.select(
+        "doc",
+        F.explode(
+            lsh_band_keys(F.col("sig"), bands, rows_per_band)
+        ).alias("band_key"),
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -199,6 +221,71 @@ def jaccard_pairs(
             F.col("b.n_sh").alias("n_b"),
         )
         .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.round(
+        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+    )
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def jaccard_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 2,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard, computed ONLY for MinHash-LSH candidate pairs.
+
+    The scale-correct composition: LSH banding bounds the pair space to
+    near-duplicate candidates (sub-quadratic — no metadata-column blocking),
+    then the exact Jaccard verifies each candidate. Plan shape:
+    candidates (banded self-join) → join shingles of side a → join shingles
+    of side b on (doc, shingle) → per-pair intersection count → filter.
+    """
+    cands = lsh_candidate_pairs(df, id_col, text_col, k, num_hashes, bands)
+    cands.persist()  # ~16 bytes/pair; read by the shingle-joins' plan
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    # intersection counts over the exploded shingles; the per-doc shingle
+    # counts are joined AFTERWARDS onto the (tiny) per-pair aggregate —
+    # carrying n_sh through the exploded join measured ~30x slower
+    inter = (
+        cands.join(a, F.col("doc_a") == F.col("a.doc"))
+        .join(
+            b,
+            (F.col("doc_b") == F.col("b.doc"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    counts = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(word_shingles(F.col(text_col), k)).alias("n_sh"),
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    inter = (
+        inter.join(ca, F.col("doc_a") == F.col("ca.doc"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.col("ca.n_sh").alias("n_a"),
+            F.col("cb.n_sh").alias("n_b"),
+        )
     )
     jac = F.round(
         F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6

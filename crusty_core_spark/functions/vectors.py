@@ -72,21 +72,69 @@ def ivf_assign(
     centroids: DataFrame,
     vec_col: str = "embedding",
     cent_col: str = "cvec",
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (IVF bucketing).
 
-    Centroids are broadcast; assignment = argmax cosine via window rank.
-    The result's ``bucket`` column becomes the equi-join key for probes."""
+    Centroids are broadcast; assignment = argmax cosine via window rank
+    partitioned on the row id (never on the vector array itself). The
+    result's ``bucket`` column becomes the equi-join key for probes."""
     scored = vectors.join(F.broadcast(centroids)).select(
         "*",
         F.round(cosine(F.col(vec_col), F.col(cent_col)), 6).alias("_c"),
     )
-    w = W.partitionBy(*[c for c in vectors.columns]).orderBy(
-        F.desc("_c"), F.asc("centroid_id")
-    )
+    w = W.partitionBy(id_col).orderBy(F.desc("_c"), F.asc("centroid_id"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_c", cent_col)
+        .withColumnRenamed("centroid_id", "bucket")
+    )
+
+
+def ivf_probe_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """IVF-bucketed ANN probe: assign vectors AND queries to their nearest
+    centroid, then score only within the shared bucket (equi-join on bucket
+    instead of the brute-force cross join) and window-rank top-k per query.
+
+    This is the scale path: at N vectors / C centroids the probe join
+    touches ~N/C candidates per query instead of N. queries columns:
+    (query_id, qvec)."""
+    assigned = ivf_assign(vectors, centroids, vec_col, "cvec", id_col)
+    q_assigned = ivf_probe_assign(queries, centroids)
+    scored = (
+        assigned.join(F.broadcast(q_assigned), on="bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def ivf_probe_assign(queries: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment for the (small) query side."""
+    scored = queries.join(F.broadcast(centroids)).select(
+        "*", F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("_c")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("_c"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_c", "cvec")
         .withColumnRenamed("centroid_id", "bucket")
     )
