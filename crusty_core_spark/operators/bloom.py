@@ -6,14 +6,21 @@ an Iceberg table — but anti-joining EVERY candidate against it each
 iteration shuffles the full candidate volume. The Bloom shards cut that:
 
 - ``url_seen_shards`` table: one row per shard — (shard_id, bitset binary,
-  n_items). Sharding key = host-hash bucket, so a host's URLs live in one
-  shard and candidate links (mostly same-host) co-partition with it.
+  n_items), stored PARTITION-PER-SHARD (TableIO.overwrite_partitions), so a
+  commit touches only the shards whose hosts were active this iteration —
+  O(touched shards), never O(all shards).
 - bit positions are computed JVM-side (xxhash64 with k salts — no Python in
   the hash path); the per-shard set/test runs in numpy inside
   cogroup-applyInPandas, one group per shard.
 - probe semantics: maybe_seen=False is DEFINITELY unseen (Bloom guarantees
   no false negatives) → skips the exact join; maybe_seen=True falls through
-  to the exact url_seen anti-join (the correctness backstop).
+  to the exact ``url_seen`` anti-join, pruned to the Bloom-POSITIVE shards'
+  partitions only (the correctness backstop reads O(touched history), not
+  the full crawl history).
+- the broadcast-probe fast path loads shard bitsets DRIVER-SIDE via pyarrow
+  with a per-partition cache keyed on the manifest's dir pointer: unchanged
+  shards are never re-read, and the previous iteration's broadcast is
+  destroyed when a new one replaces it (no driver/executor leak).
 
 Why not ``df.stat.bloomFilter``: it builds driver-side, is not incrementally
 mergeable across iterations, and cannot be selectively updated per shard.
@@ -26,15 +33,18 @@ iteration touches only the shards whose hosts are active).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from crusty_core_spark.sources.tables import TableIO
 
 SHARDS_TABLE = "url_seen_shards"
 SHARD_SCHEMA = "shard_id int, bitset binary, n_items long"
+URL_SEEN_TABLE = "url_seen"
 
 
 def shard_id_col(host: F.Column, n_shards: int) -> F.Column:
@@ -55,16 +65,57 @@ def _empty_bitset(n_bits: int) -> bytes:
     return bytes(n_bits // 8)
 
 
+def _blobs_broadcast(io: TableIO, cfg):
+    """Driver-side shard bitsets with per-partition caching.
+
+    The manifest maps shard_id → its single current dir; a shard whose dir
+    pointer is unchanged since the last probe is served from the cache (no
+    re-read). Returns a broadcast of {shard_id: np.uint8 array}; the previous
+    broadcast is destroyed when the snapshot moves."""
+    import pyarrow.parquet as pq
+
+    snap = io.snapshot_id(SHARDS_TABLE)
+    cached = getattr(io, "_bloom_bc", None)
+    if cached is not None and cached[0] == snap:
+        return cached[1]
+
+    cache: dict = getattr(io, "_bloom_blob_cache", None) or {}
+    blobs: dict[int, np.ndarray] = {}
+    new_cache: dict = {}
+    for sid_str, rels in io._parts(SHARDS_TABLE).items():
+        rel = rels[-1]
+        hit = cache.get(sid_str)
+        if hit is not None and hit[0] == rel:
+            arr = hit[1]
+        else:
+            tbl = pq.read_table(os.path.join(io.root, SHARDS_TABLE, rel))
+            arr = np.frombuffer(tbl.column("bitset")[0].as_py(), dtype=np.uint8)
+        new_cache[sid_str] = (rel, arr)
+        blobs[int(sid_str)] = arr
+    io._bloom_blob_cache = new_cache
+
+    bc = io.spark.sparkContext.broadcast(blobs)
+    if cached is not None:
+        try:
+            cached[1].unpersist()
+        except Exception:
+            pass
+    io._bloom_bc = (snap, bc)
+    return bc
+
+
 def probe(
     cands: DataFrame,
     io: TableIO,
     cfg,
     host_col: str = "host",
+    keep_shard: bool = False,
 ) -> DataFrame:
-    """Adds a ``maybe_seen`` boolean column to ``cands``.
+    """Adds ``maybe_seen`` (and optionally ``_shard``) columns to ``cands``.
 
-    One shuffle keyed by shard_id; each shard's bitset is loaded once per
-    group and probed vectorized."""
+    Fast path: shards fit a broadcast → probe is a shuffle-free mapInPandas.
+    Scale path: cogroup keyed by shard_id co-partitions candidates with
+    their shard bitset."""
     n_bits = cfg.bloom_bits_per_shard
     probe_in = cands.withColumn(
         "_shard", shard_id_col(F.col(host_col), cfg.n_bloom_shards)
@@ -73,9 +124,14 @@ def probe(
                               cfg.bloom_num_hashes, n_bits)
     )
     if not io.exists(SHARDS_TABLE):
-        return cands.withColumn("maybe_seen", F.lit(False))
-    shards = io.read(SHARDS_TABLE)
-    out_schema = probe_in.drop("_shard", "_pos").schema.add("maybe_seen", "boolean")
+        out = cands.withColumn("maybe_seen", F.lit(False))
+        if keep_shard:
+            out = out.withColumn(
+                "_shard", shard_id_col(F.col(host_col), cfg.n_bloom_shards)
+            )
+        return out
+    drop = ["_pos"] if keep_shard else ["_shard", "_pos"]
+    out_schema = probe_in.drop(*drop).schema.add("maybe_seen", "boolean")
     cols = [f.name for f in out_schema.fields]
 
     # fast path: shards small enough to broadcast → probe without a shuffle
@@ -83,11 +139,7 @@ def probe(
     # co-partitions candidates with their shard instead)
     total_bytes = cfg.n_bloom_shards * (n_bits // 8)
     if total_bytes <= 64 * 1024 * 1024:
-        blobs = {
-            int(r["shard_id"]): np.frombuffer(bytes(r["bitset"]), dtype=np.uint8)
-            for r in shards.collect()
-        }
-        bc = io.spark.sparkContext.broadcast(blobs)
+        bc = _blobs_broadcast(io, cfg)
 
         def probe_map(batches):
             local = bc.value
@@ -100,17 +152,19 @@ def probe(
                         continue
                     p = np.asarray(pos, dtype=np.int64)
                     flags.append(bool(((bits[p >> 3] >> (p & 7)) & 1).all()))
-                out = pdf.drop(columns=["_shard", "_pos"])
+                out = pdf.drop(columns=drop)
                 out["maybe_seen"] = flags
                 yield out[cols]
 
         return probe_in.mapInPandas(probe_map, schema=out_schema)
 
+    shards = io.read_partitions(SHARDS_TABLE)
+
     def fn(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if len(left) == 0:
             return pd.DataFrame(columns=cols)
         if len(right) == 0:
-            out = left.drop(columns=["_shard", "_pos"])
+            out = left.drop(columns=drop)
             out["maybe_seen"] = False
             return out[cols]
         bits = np.frombuffer(bytes(right.iloc[0]["bitset"]), dtype=np.uint8)
@@ -118,7 +172,7 @@ def probe(
         for pos in left["_pos"]:
             p = np.asarray(pos, dtype=np.int64)
             flags.append(bool(((bits[p >> 3] >> (p & 7)) & 1).all()))
-        out = left.drop(columns=["_shard", "_pos"])
+        out = left.drop(columns=drop)
         out["maybe_seen"] = flags
         return out[cols]
 
@@ -135,15 +189,24 @@ def update(
     cfg,
     host_col: str = "host",
 ) -> None:
-    """OR the accepted URLs' bits into their shards (incremental merge)."""
+    """OR the accepted URLs' bits into their shards.
+
+    Partition-level commit: only the TOUCHED shards are read (pruned via the
+    manifest), merged, and rewritten — untouched shards' files are untouched
+    bytes on disk. O(touched shards) per iteration, not O(table)."""
     n_bits = cfg.bloom_bits_per_shard
     upd = accepted.select(
         shard_id_col(F.col(host_col), cfg.n_bloom_shards).alias("shard_id"),
         positions_col(F.col("job_id"), F.col("url"),
                       cfg.bloom_num_hashes, n_bits).alias("_pos"),
     )
+    touched_ids = [
+        r[0] for r in upd.select("shard_id").distinct().collect()
+    ]
+    if not touched_ids:
+        return
     if io.exists(SHARDS_TABLE):
-        shards = io.read(SHARDS_TABLE)
+        shards = io.read_partitions(SHARDS_TABLE, touched_ids)
     else:
         shards = io.spark.createDataFrame([], SHARD_SCHEMA)
 
@@ -169,35 +232,56 @@ def update(
         .cogroup(shards.groupBy("shard_id"))
         .applyInPandas(fn, schema=SHARD_SCHEMA)
     )
-    untouched = shards.join(
-        upd.select(F.col("shard_id")).distinct(), "shard_id", "left_anti"
-    )
-    io.overwrite(SHARDS_TABLE, untouched.unionByName(touched))
+    io.overwrite_partitions(SHARDS_TABLE, touched, "shard_id")
 
 
 def dedup_flag(
     cands: DataFrame,
     io: TableIO,
     cfg,
-    url_seen: DataFrame,
     host_col: str = "host",
+    stats: dict | None = None,
 ) -> DataFrame:
-    """seen_global via Bloom prefilter + exact backstop.
+    """seen_global via Bloom prefilter + shard-pruned exact backstop.
 
     definitely-unseen rows (Bloom negative) skip the exact join entirely;
-    only Bloom-positive rows probe the url_seen table."""
-    probed = probe(cands, io, cfg, host_col)
+    Bloom-positive rows probe ONLY their shards' partitions of the
+    ``url_seen`` table (manifest-pruned scan — per-iteration read volume is
+    O(touched-shard history), recorded in ``stats`` when passed, instead of
+    the full crawl history)."""
+    probed = probe(cands, io, cfg, host_col, keep_shard=True)
+    pos_shards = [
+        r[0]
+        for r in probed.filter(F.col("maybe_seen"))
+        .select("_shard").distinct().collect()
+    ]
+    if stats is not None:
+        paths = (
+            io.partition_paths(URL_SEEN_TABLE, pos_shards)
+            if io.exists(URL_SEEN_TABLE)
+            else []
+        )
+        stats["dedup_shards_read"] = len(pos_shards)
+        stats["dedup_read_bytes"] = sum(
+            os.path.getsize(os.path.join(d, f))
+            for d in paths
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+    if not pos_shards or not io.exists(URL_SEEN_TABLE):
+        return probed.withColumn("seen_global", F.lit(False)).drop(
+            "maybe_seen", "_shard"
+        )
+    seen = io.read_partitions(URL_SEEN_TABLE, pos_shards).select(
+        "job_id", "url", F.lit(True).alias("_hit")
+    )
     neg = probed.filter(~F.col("maybe_seen")).withColumn(
         "seen_global", F.lit(False)
     )
     pos = (
         probed.filter(F.col("maybe_seen"))
-        .join(
-            url_seen.select("job_id", "url", F.lit(True).alias("_hit")),
-            on=["job_id", "url"],
-            how="left",
-        )
+        .join(seen, on=["job_id", "url"], how="left")
         .withColumn("seen_global", F.coalesce(F.col("_hit"), F.lit(False)))
         .drop("_hit")
     )
-    return neg.unionByName(pos).drop("maybe_seen")
+    return neg.unionByName(pos).drop("maybe_seen", "_shard")

@@ -34,6 +34,11 @@ from crusty_core_spark.plans.schemas import CHAIN_OUT, CHAIN_OUT_COLS
 
 _ALLOW_ALL = "User-agent: *\nAllow: /"
 
+#: cogroup bucket count AND the job_state table's partition count — one job
+#: bucket == one cogroup group == one table partition, so the per-iteration
+#: state commit is a partition-level overwrite of the touched buckets only
+N_JOB_BUCKETS = 128
+
 _SCHED_COLS = ["job_id", "parent_seq_num", "url", "depth", "link_pos",
                "action", "filter"]
 _TASK_COLS = ["job_id", "task_seq", "url", "host", "depth", "redirect",
@@ -220,7 +225,7 @@ def make_chain_fn(cfg, custom_filters: tuple = ()):
     return bucket_fn
 
 
-def run_chain_stage(chain_input, job_state, cfg, n_buckets: int = 128,
+def run_chain_stage(chain_input, job_state, cfg, n_buckets: int = N_JOB_BUCKETS,
                     custom_filters: tuple = ()):
     """chain_input (CHAIN_IN rows) × job_state (JOB_STATE rows) → CHAIN_OUT.
 

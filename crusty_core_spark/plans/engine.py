@@ -20,10 +20,17 @@ Scale notes (the 100 TB design intent — verified locally at small SF):
   and hot hosts are boundable via cfg politeness (per-host ready cap).
 - the only Python crossings are Arrow-vectorized: canonicalize (pandas UDF),
   extract (mapInPandas), and the per-job chain (cogroup applyInPandas).
-- dedup check = left join against url_seen keyed (job_id, url); the Bloom
-  shard prefilter (operators/bloom.py) cuts the shuffled probe volume.
-- job_state updates shuffle only TOUCHED jobs through Python; untouched job
-  rows are carried over with an anti-join.
+- dedup check = Bloom-shard prefilter (operators/bloom.py) + exact backstop
+  against the dedicated ``url_seen`` table, which is PARTITIONED by
+  host-hash shard: the backstop reads only the Bloom-POSITIVE shards'
+  partitions — per-iteration scan volume is O(touched-shard history)
+  (recorded per iteration in metrics.dedup_read_bytes), never the full
+  crawl history.
+- job_state lives in its own table partitioned by job bucket; each
+  iteration reads/overwrites ONLY the touched buckets, feeds ONLY touched
+  jobs' states through Python (semi-join), and carries untouched jobs in
+  touched buckets with a JVM anti-join. Bloom shard commits are likewise
+  partition-level. Per-iteration write volume is O(this iteration's work).
 """
 
 from __future__ import annotations
@@ -38,7 +45,11 @@ from crusty_core_spark.config import CrawlConfig
 from crusty_core_spark.functions.canonicalize import canonicalize_udf, url_host
 from crusty_core_spark.functions.extract import extract_pages_canonical
 from crusty_core_spark.operators.chain import FOLLOW_TARGETS
-from crusty_core_spark.operators.chain_stage import run_chain_stage
+from crusty_core_spark.operators.chain_stage import (
+    N_JOB_BUCKETS,
+    _STATE_COLS,
+    run_chain_stage,
+)
 from crusty_core_spark.plans import schemas as S
 from crusty_core_spark.sources.tables import TableIO
 
@@ -129,7 +140,7 @@ class CrawlEngine:
             r["action"]: r["n"] for r in self._sched_agg(chain_out).collect()
         }
         self._commit_chain_out(chain_out, it=0, remaining=None, fetch_log=None,
-                               counts={})
+                               counts={}, carry_states=None)
         chain_out.unpersist()
         self.io.set_state(
             iter=0,
@@ -185,19 +196,39 @@ class CrawlEngine:
         #     window rank; skipped entirely when delay is 0 — with no delay
         #     every pending row is due by construction, so no extra scan)
         if cfg.delay_ms > 0:
+            # clamp like the reference scheduler (simulator.py:149): a
+            # concurrency of 0 still dispatches one task per host per window,
+            # otherwise the engine would defer due tasks forever
+            per_host = max(1, cfg.concurrency_per_host)
             due = pending.filter(F.col("next_fetch_iter") <= it)
             not_due = pending.filter(F.col("next_fetch_iter") > it)
             w = W.partitionBy("job_id", "host").orderBy("priority", "task_seq")
             ranked = due.withColumn("_rn", F.row_number().over(w))
-            ready = ranked.filter(
-                F.col("_rn") <= cfg.concurrency_per_host
-            ).drop("_rn")
+            ready = ranked.filter(F.col("_rn") <= per_host).drop("_rn")
             remaining = not_due.unionByName(
-                ranked.filter(F.col("_rn") > cfg.concurrency_per_host).drop("_rn")
+                ranked.filter(F.col("_rn") > per_host).drop("_rn")
             )
         else:
             ready = pending
             remaining = None
+
+        # --- touched-jobs-only state pruning: this iteration's chain touches
+        #     exactly the jobs with ready rows (candidates inherit their
+        #     parent's job_id), so the per-job state read/shuffle/write is
+        #     pruned to the touched job-buckets — O(touched), not O(all jobs).
+        #     The distinct-bucket collect runs over the compact pending set.
+        touched_buckets = [
+            r[0]
+            for r in pending.select(
+                F.pmod(F.col("job_id"), F.lit(N_JOB_BUCKETS)).cast("int")
+            ).distinct().collect()
+        ]
+        bucket_states = self.io.read_partitions(
+            "job_state", touched_buckets
+        ).select(*_STATE_COLS)
+        touched_jobs = ready.select("job_id").distinct()
+        job_state = bucket_states.join(touched_jobs, "job_id", "left_semi")
+        carry_states = bucket_states.join(touched_jobs, "job_id", "left_anti")
 
         # --- resolve (broadcast hosts join + IP blacklist;
         #     task_processor.rs:117-126) then fetch = equi-join vs pages
@@ -292,19 +323,25 @@ class CrawlEngine:
             "marker",
         )
 
-        cands = parsed_links.unionByName(redirect_cands)
+        cands_raw = parsed_links.unionByName(redirect_cands)
+        cands_raw.persist()  # probe, pos-shard collect, backstop all read it
 
         # --- dedup check flag (task_filters.rs:184-192; commit stays in the
-        #     chain): Bloom-shard prefilter + exact backstop, or plain join
+        #     chain): Bloom-shard prefilter + shard-pruned exact backstop,
+        #     or plain join
+        self._dedup_stats = {}
         if cfg.use_bloom:
             from crusty_core_spark.operators import bloom
 
-            cands = bloom.dedup_flag(cands, self.io, cfg, self.url_seen_df())
+            cands = bloom.dedup_flag(cands_raw, self.io, cfg,
+                                     stats=self._dedup_stats)
         else:
             seen = self.url_seen_df().select(
                 "job_id", "url", F.lit(True).alias("seen_global")
             )
-            cands = cands.join(seen, on=["job_id", "url"], how="left").withColumn(
+            cands = cands_raw.join(
+                seen, on=["job_id", "url"], how="left"
+            ).withColumn(
                 "seen_global", F.coalesce("seen_global", F.lit(False))
             )
         cands = (
@@ -346,9 +383,8 @@ class CrawlEngine:
         )
 
         # --- per-job chain replay, bucketed (exact semantics per job,
-        #     parallel across buckets); untouched jobs pass through with
-        #     unchanged state
-        job_state = self._job_state_df()
+        #     parallel across buckets); only TOUCHED jobs' states cross
+        #     Python — untouched states are carried over JVM-side at commit
         chain_out = run_chain_stage(chain_input, job_state, self.cfg,
                                     custom_filters=self.custom_task_filters)
         chain_out.persist()
@@ -407,10 +443,12 @@ class CrawlEngine:
             fetch_log=fetch_log,
             counts=counts,
             wall_ms=int((time.time() - t0) * 1000),
+            carry_states=carry_states,
         )
         mark("commit")
         chain_out.unpersist()
         cands.unpersist()
+        cands_raw.unpersist()
         parsed.unpersist()
         fetched.unpersist()
         n_ready = sum(counts.values())
@@ -433,31 +471,71 @@ class CrawlEngine:
     # ---------------------------------------------------------------- commit
 
     def _commit_chain_out(self, chain_out, it, remaining, fetch_log, counts,
-                          wall_ms=0):
-        """Commit an iteration: ONE append of the full chain output carries
-        the new frontier tasks, scheduling log, lineage, AND job states
-        (split lazily at read time — _pending_df/_job_state_df/url_seen_df/
-        sched_log_df/lineage_df). The dedup commit-last semantics hold
-        because the chain only emits fresh URLs, so the append IS the MERGE
-        (task_filters.rs:199-211). Fewer write jobs per iteration = lower
-        serial floor = better N→4N scaling."""
+                          wall_ms=0, carry_states=None):
+        """Commit an iteration. Every write is O(this iteration's work):
+
+        - ``chain`` append: tasks/sched/lineage log rows (state rows are
+          excluded — they live in the partitioned ``job_state`` table).
+        - ``job_state``: partition-level overwrite of the TOUCHED job
+          buckets only — touched jobs' new states (from the chain) union the
+          untouched jobs' carried states (JVM anti-join, engine.step);
+          untouched buckets' files stay byte-identical.
+        - ``url_seen``: append of this iteration's accepted URLs, partitioned
+          by host-hash shard so the dedup backstop prunes its scan.
+        - Bloom shards: partition-level overwrite of touched shards.
+
+        The dedup commit-last semantics hold because the chain only emits
+        fresh URLs, so the append IS the MERGE (task_filters.rs:199-211).
+        Independent writes run concurrently = lower serial floor = better
+        N→4N scaling."""
+        from crusty_core_spark.operators import bloom
+
         io = self.io
+        tasks_out = chain_out.filter(F.col("row_kind") == "task")
 
         def _bloom_update():
-            from crusty_core_spark.operators import bloom
-
             bloom.update(
-                chain_out.filter(F.col("row_kind") == "task").select(
-                    "job_id", "url", "host"
+                tasks_out.select("job_id", "url", "host"), io, self.cfg
+            )
+
+        def _job_state_write():
+            states = chain_out.filter(F.col("row_kind") == "state").select(
+                *_STATE_COLS
+            )
+            if carry_states is not None:
+                states = states.unionByName(carry_states)
+            io.overwrite_partitions(
+                "job_state",
+                states.withColumn(
+                    "_bucket",
+                    F.pmod(F.col("job_id"), F.lit(N_JOB_BUCKETS)).cast("int"),
                 ),
-                io,
-                self.cfg,
+                "_bucket",
+            )
+
+        def _url_seen_write():
+            io.append_partitions(
+                "url_seen",
+                tasks_out.select(
+                    "job_id",
+                    "url",
+                    F.lit(it).cast("long").alias("added_iter"),
+                    bloom.shard_id_col(
+                        F.col("host"), self.cfg.n_bloom_shards
+                    ).alias("shard"),
+                ),
+                "shard",
             )
 
         writers = [
             lambda: io.append(
-                "chain", chain_out.withColumn("iter", F.lit(it).cast("long"))
+                "chain",
+                chain_out.filter(F.col("row_kind") != "state").withColumn(
+                    "iter", F.lit(it).cast("long")
+                ),
             ),
+            _job_state_write,
+            _url_seen_write,
         ]
         if self.cfg.delay_ms > 0:
             # politeness mode keeps an explicit compact queue (leftover ∪ new)
@@ -485,6 +563,7 @@ class CrawlEngine:
         # materialized as a table by flush_metrics() — avoids a tiny table
         # write per iteration
         sched_counts = getattr(self, "_sched_counts", {})
+        dedup_stats = getattr(self, "_dedup_stats", {})
         n_ready = sum(counts.values())
         row = [
             it,
@@ -497,6 +576,8 @@ class CrawlEngine:
             sched_counts.get("term", 0),
             0,
             wall_ms,
+            dedup_stats.get("dedup_shards_read", 0),
+            dedup_stats.get("dedup_read_bytes", 0),
         ]
         buf = list(io.state.get("metrics_buffer", []))
         buf.append(row)
@@ -526,20 +607,17 @@ class CrawlEngine:
         )
 
     def _job_state_df(self) -> DataFrame:
-        return self.io.read_last_append("chain").filter(
-            F.col("row_kind") == "state"
-        ).select(
-            "job_id", "root_url", "root_host", "root_scheme", "budget_used",
-            "lpp_seq", "lpp_count", "robots_state", "robots_rules",
-            "stashed_root_url", "resp_counter", "seq_counter",
-        )
+        """All jobs' current states (the partitioned job_state table —
+        per-iteration commits touch only the active buckets)."""
+        return self.io.read_partitions("job_state").select(*_STATE_COLS)
 
     def url_seen_df(self) -> DataFrame:
         """The committed URL-seen set (commit-last semantics, one row per
-        (job_id, url))."""
-        return self.io.read("chain").filter(
-            F.col("row_kind") == "task"
-        ).select("job_id", "url", F.col("iter").alias("added_iter"))
+        (job_id, url)) — the dedicated host-hash-partitioned table, so the
+        per-iteration dedup backstop prunes its scan to touched shards."""
+        return self.io.read_partitions("url_seen").select(
+            "job_id", "url", "added_iter"
+        )
 
     def pending_count(self) -> int:
         """Exact pending count (maintained arithmetically — no Spark job)."""
@@ -573,7 +651,7 @@ class CrawlEngine:
                 break
             counts = self.step()
             stats["iterations"] += 1
-            stats["processed"] += sum(counts.values())
+            stats["processed"] += counts.get("processed", 0)
         self.flush_metrics()
         return stats
 

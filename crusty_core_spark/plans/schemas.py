@@ -35,7 +35,11 @@ LINEAGE = (
 METRICS = (
     "iter long, n_ready long, n_processed long, n_errors long, "
     "n_candidates long, n_accepted long, n_skipped long, n_terminated long, "
-    "bytes_fetched long, wall_ms long"
+    "bytes_fetched long, wall_ms long, "
+    # dedup-backstop scan accounting: shards whose url_seen partitions were
+    # read this iteration and the bytes scanned — the O(new-work) evidence
+    # (stays flat as history grows instead of tracking total crawled)
+    "dedup_shards_read long, dedup_read_bytes long"
 )
 
 # chain-stage exchange schemas (operators/chain_stage.py)

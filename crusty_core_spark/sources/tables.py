@@ -102,6 +102,10 @@ class TableIO:
         dirs = t["snapshots"].get(str(snap))
         if dirs is None:
             raise KeyError(f"table {name!r} snapshot {snap} does not exist")
+        if isinstance(dirs, dict):  # partitioned table → full read
+            if snapshot is not None and snapshot != t["current"]:
+                raise KeyError(f"partitioned time-travel not supported: {name}")
+            return self.read_partitions(name)
         schema = T.StructType.fromJson(t["schema"])
         if not dirs:
             return self.spark.createDataFrame([], schema)
@@ -153,6 +157,108 @@ class TableIO:
             t = self._tbl(name)
             cur = list(t["snapshots"].get(str(t["current"]), []))
             return self._commit(name, cur + [d], df.schema)
+
+    # ---------- partitioned tables ----------
+    #
+    # Partition-level commits are what make the per-iteration state writes
+    # O(touched work) instead of O(table): the manifest maps every partition
+    # value to the data dirs holding its rows, so an overwrite of K touched
+    # partitions leaves the other partitions' dir pointers untouched (the
+    # Iceberg analogue is dynamic-partition-overwrite / bucket partitioning).
+    # Physically each write is df.write.partitionBy(dup-col) — one subdir per
+    # value — and the partition column itself stays in the data files (it is
+    # duplicated into `_pc` for the directory layout), so reads never depend
+    # on directory-name parsing.
+
+    def _write_part_dir(self, name: str, df: DataFrame, part_col: str):
+        """Write df partitioned by part_col; returns (data_dir, {value: relpath})."""
+        from pyspark.sql import functions as F
+        with self._lock:
+            t = self._tbl(name)
+            d = f"data-{t['next_dir']:06d}"
+            t["next_dir"] += 1
+        path = os.path.join(self.root, name, d)
+        (
+            df.withColumn("_pc", F.col(part_col))
+            .repartition(F.col("_pc"))  # one file per touched partition
+            .write.mode("overwrite")
+            .partitionBy("_pc")
+            .parquet(path)
+        )
+        written = {}
+        for sub in os.listdir(path):
+            if sub.startswith("_pc="):
+                written[sub[len("_pc="):]] = f"{d}/{sub}"
+        return d, written
+
+    def _parts(self, name: str) -> dict:
+        t = self._tbl(name)
+        snap = t["snapshots"].get(str(t["current"]))
+        if snap is None:
+            return {}
+        if not isinstance(snap, dict):
+            raise TypeError(f"table {name!r} is not partitioned")
+        return snap
+
+    def overwrite_partitions(self, name: str, df: DataFrame, part_col: str) -> int:
+        """Overwrite ONLY the partitions present in df; every other
+        partition keeps its current dir list. O(touched partitions)."""
+        _, written = self._write_part_dir(name, df, part_col)
+        with self._lock:
+            parts = dict(self._parts(name))
+            for v, rel in written.items():
+                parts[v] = [rel]
+            return self._commit_parts(name, parts, df.schema)
+
+    def append_partitions(self, name: str, df: DataFrame, part_col: str) -> int:
+        """Append df's rows, extending each touched partition's dir list."""
+        _, written = self._write_part_dir(name, df, part_col)
+        with self._lock:
+            parts = {k: list(v) for k, v in self._parts(name).items()}
+            for v, rel in written.items():
+                parts.setdefault(v, []).append(rel)
+            return self._commit_parts(name, parts, df.schema)
+
+    def _commit_parts(self, name: str, parts: dict, schema: T.StructType) -> int:
+        with self._lock:
+            t = self._tbl(name)
+            t["current"] += 1
+            t["snapshots"][str(t["current"])] = parts
+            if t["schema"] is None:
+                t["schema"] = schema.jsonValue()
+            self._write_manifest()
+            return t["current"]
+
+    def read_partitions(self, name: str, values=None) -> DataFrame:
+        """Read a partitioned table, pruned to ``values`` (None = all).
+        Reads exactly the selected partitions' files — an O(selected) scan."""
+        t = self._tbl(name)
+        schema = T.StructType.fromJson(t["schema"])
+        parts = self._parts(name)
+        if values is not None:
+            want = {str(v) for v in values}
+            parts = {k: v for k, v in parts.items() if k in want}
+        paths = [
+            os.path.join(self.root, name, rel)
+            for rels in parts.values()
+            for rel in rels
+        ]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def partition_paths(self, name: str, values=None) -> list[str]:
+        """Absolute file-system dirs backing the selected partitions (for
+        driver-side reads and scan-volume accounting)."""
+        parts = self._parts(name)
+        if values is not None:
+            want = {str(v) for v in values}
+            parts = {k: v for k, v in parts.items() if k in want}
+        return [
+            os.path.join(self.root, name, rel)
+            for rels in parts.values()
+            for rel in rels
+        ]
 
     def merge_insert_new(self, name: str, df: DataFrame, key: str | list[str]) -> int:
         """MERGE ... WHEN NOT MATCHED THEN INSERT (dedup-set commit;

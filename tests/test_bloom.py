@@ -22,7 +22,14 @@ def test_no_false_negatives_and_backstop(spark, workdir):
     ]
     seen = _df(spark, seen_rows)
     bloom.update(seen, io, cfg)
-    io.overwrite("url_seen", seen.select("job_id", "url"))
+    io.append_partitions(
+        "url_seen",
+        seen.select(
+            "job_id", "url", F.lit(0).cast("long").alias("added_iter"),
+            bloom.shard_id_col(F.col("host"), cfg.n_bloom_shards).alias("shard"),
+        ),
+        "shard",
+    )
 
     cand_rows = seen_rows[::7] + [
         (j, f"http://h{j % 5}.x/new{i}", f"h{j % 5}.x")
@@ -39,10 +46,14 @@ def test_no_false_negatives_and_backstop(spark, workdir):
             assert maybe, f"FALSE NEGATIVE for {(j, u)}"
 
     # dedup_flag == exact-join ground truth (backstop kills false positives)
-    flagged = bloom.dedup_flag(cands, io, cfg, io.read("url_seen"))
+    stats: dict = {}
+    flagged = bloom.dedup_flag(cands, io, cfg, stats=stats)
     got = {(r.job_id, r.url): r.seen_global for r in flagged.collect()}
     for (j, u), sg in got.items():
         assert sg == ((j, u) in truly_seen)
+    # the exact backstop must have pruned its scan to the positive shards
+    assert 0 < stats["dedup_shards_read"] <= cfg.n_bloom_shards
+    assert stats["dedup_read_bytes"] > 0
 
 
 def test_incremental_update_merges(spark, workdir):
@@ -57,3 +68,43 @@ def test_incremental_update_merges(spark, workdir):
     assert all(r.maybe_seen for r in probed.collect())
     shards = {r.shard_id: r.n_items for r in io.read(bloom.SHARDS_TABLE).collect()}
     assert sum(shards.values()) == 2
+
+
+def test_update_leaves_untouched_shards_byte_identical(spark, workdir):
+    """Partition-level shard commit: an update touching one host must not
+    rewrite the other shards' files."""
+    import os
+
+    cfg = CrawlConfig(n_bloom_shards=8, bloom_bits_per_shard=1 << 12)
+    io = TableIO(spark, workdir)
+    many = _df(
+        spark,
+        [(1, f"http://h{i}.x/p", f"h{i}.x") for i in range(40)],
+    )
+    bloom.update(many, io, cfg)
+
+    def files():
+        out = {}
+        base = os.path.join(workdir, bloom.SHARDS_TABLE)
+        for dirpath, _, names in os.walk(base):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(dirpath, n)
+                    out[os.path.relpath(p, base)] = (
+                        os.path.getmtime(p), os.path.getsize(p)
+                    )
+        return out
+
+    before = files()
+    one = _df(spark, [(2, "http://h0.x/new", "h0.x")])
+    bloom.update(one, io, cfg)
+    after = files()
+    for rel, meta in before.items():
+        assert after[rel] == meta  # old files untouched (append-only dirs)
+    # and the touched shard's probe still sees both generations
+    probed = bloom.probe(
+        _df(spark, [(2, "http://h0.x/new", "h0.x"),
+                    (1, "http://h0.x/p", "h0.x")]),
+        io, cfg,
+    )
+    assert all(r.maybe_seen for r in probed.collect())
