@@ -37,7 +37,9 @@ HEADLINE = [
     "q12_lang_id",
     "q14_simhash",
     "q16_lsh_candidate_pairs",
+    "q17_ngram_jaccard",
     "q18_ann_cosine_topk",
+    "q33_ann_ivf_probe",
 ]
 
 
@@ -71,7 +73,11 @@ def bench_crawl(spark, n_hosts, pages_per_host, max_iters):
         zipf_hot_host_factor=20,  # one hot host to exercise skew handling
         seed=42,
     )
-    tmp = tempfile.mkdtemp(prefix="bench_crawl_")
+    # tmpfs working dir: /tmp on this sandbox is a noisy virtual disk
+    tmp = tempfile.mkdtemp(
+        prefix="bench_crawl_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
     pages_path = os.path.join(tmp, "pages")
     t0 = time.time()
     gen_pages_spark(spark, spec).write.mode("overwrite").parquet(pages_path)

@@ -35,6 +35,10 @@ class CrawlConfig:
     robots_txt: bool = True
     www_allow: bool = True
     user_agent: str = "spark-crawl/0"
+    #: soft-timeout drain (task_scheduler.rs:134-157): after this many
+    #: iterations the crawl stops EXPANDING (no parse/schedule of new links)
+    #: but keeps draining already-scheduled tasks; None = no soft timeout
+    soft_timeout_iters: int | None = None
     # engine
     max_iterations: int = 1000
     use_bloom: bool = True  # Bloom-shard prefilter in front of the exact set

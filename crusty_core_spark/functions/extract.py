@@ -191,33 +191,55 @@ def extract_document(
     }
 
 
+def expand_document(doc: dict, task: dict, base: str, expanders) -> list[dict]:
+    """Run the expander list over one parsed document and canonicalize the
+    emitted links — SHARED by the engine's fused extract stage and the
+    reference simulator, so expander semantics are parity-tested.
+
+    Emission order = expander order = ctx.push_links order
+    (task_scheduler.rs:82-86); unparseable hrefs are dropped (Task::new parse
+    failure); alt/text are trimmed (types.rs:448-449)."""
+    from urllib.parse import urlsplit
+
+    from crusty_core_spark.functions.canonicalize import canonicalize_url
+
+    out: list[dict] = []
+    for exp in expanders:
+        try:
+            emitted = exp(doc, task)
+        except Exception:
+            continue  # expander errors are non-fatal (task_scheduler.rs:67-70)
+        for link in emitted:
+            u = canonicalize_url(link.get("href"), base)
+            if u is None:
+                continue
+            out.append(
+                {
+                    "url": u,
+                    "host": (urlsplit(u).hostname or ""),
+                    "rel": link.get("rel") or "",
+                    "alt": (link.get("alt") or "").strip(),
+                    "text": (link.get("text") or "").strip(),
+                    "target": link.get("target") or "Follow",
+                    "pos": len(out),
+                }
+            )
+    return out
+
+
 def _extract_batches(
     batches: Iterator[pd.DataFrame],
     html_col: str,
     enc_col: str | None,
     canonicalize_base: str | None = None,
+    expanders=None,
+    user_extract=None,
+    user_cols: list[str] | None = None,
 ) -> Iterator[pd.DataFrame]:
-    canon = None
-    if canonicalize_base is not None:
-        from urllib.parse import urlsplit
+    if expanders is None:
+        from crusty_core_spark.operators.expanders import DEFAULT_EXPANDERS
 
-        from crusty_core_spark.functions.canonicalize import canonicalize_url
-
-        def canon(links, base):
-            out = []
-            for link in links:
-                u = canonicalize_url(link["href"], base)
-                if u is None:
-                    continue
-                out.append(
-                    {
-                        "url": u,
-                        "host": (urlsplit(u).hostname or ""),
-                        "rel": link["rel"],
-                        "pos": link["pos"],
-                    }
-                )
-            return out
+        expanders = DEFAULT_EXPANDERS
 
     for pdf in batches:
         encs = pdf[enc_col] if enc_col and enc_col in pdf else None
@@ -228,11 +250,27 @@ def _extract_batches(
         out = pdf.drop(columns=[html_col])
         out["title"] = pd.Series([r["title"] for r in rows], dtype=object).values
         out["text"] = pd.Series([r["text"] for r in rows], dtype=object).values
-        if canon is not None:
+        if canonicalize_base is not None:
             bases = pdf[canonicalize_base].tolist()
+            depths = pdf["depth"].tolist() if "depth" in pdf else [0] * len(rows)
             out["links_canon"] = pd.Series(
-                [canon(r["links"], b) for r, b in zip(rows, bases)], dtype=object
+                [
+                    expand_document(
+                        r, {"url": b, "depth": d}, b, expanders
+                    )
+                    for r, b, d in zip(rows, bases, depths)
+                ],
+                dtype=object,
             ).values
+            if user_extract is not None:
+                extras = [
+                    _safe_user_extract(user_extract, r, {"url": b, "depth": d})
+                    for r, b, d in zip(rows, bases, depths)
+                ]
+                for c in user_cols or []:
+                    out[c] = pd.Series(
+                        [e.get(c) for e in extras], dtype=object
+                    ).values
         else:
             out["links"] = pd.Series(
                 [r["links"] for r in rows], dtype=object
@@ -243,12 +281,23 @@ def _extract_batches(
         yield out
 
 
+def _safe_user_extract(fn, doc: dict, task: dict) -> dict:
+    """User parser/extractor errors are non-fatal: null columns for the row."""
+    try:
+        return fn(doc, task) or {}
+    except Exception:
+        return {}
+
+
 CANON_LINK_TYPE = T.ArrayType(
     T.StructType(
         [
             T.StructField("url", T.StringType()),
             T.StructField("host", T.StringType()),
             T.StructField("rel", T.StringType()),
+            T.StructField("alt", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("target", T.StringType()),
             T.StructField("pos", T.IntegerType()),
         ]
     )
@@ -278,15 +327,24 @@ def extract_pages_canonical(
     base_col: str,
     html_col: str = "html",
     enc_col: str | None = "content_encoding",
+    expanders=None,
+    user_extract=None,
+    user_schema: T.StructType | str | None = None,
 ) -> DataFrame:
-    """Fused parse + canonicalize: one Python crossing instead of two.
+    """Fused parse + expand + canonicalize: one Python crossing.
 
-    Emits ``links_canon`` (already joined/fragment-stripped/sorted-params,
-    unparseable hrefs dropped) alongside title/text. This is the engine's hot
-    path; the generic extract_pages stays for the byte-identical text and
-    user-extension (images, raw attrs) paths."""
+    Emits ``links_canon`` (expander-emitted, already joined/fragment-
+    stripped/sorted-params, carrying rel/alt/text/target, unparseable hrefs
+    dropped) alongside title/text. ``expanders`` is the
+    task_expanders::Expander list (operators/expanders.py; default
+    FollowLinks). ``user_extract(doc, task) -> dict`` is the custom-parser /
+    TS-analogue hook — its ``user_schema`` columns land on the output (and on
+    fetch_log when run through the engine)."""
     if enc_col is not None and enc_col not in df.columns:
         enc_col = None
+    if isinstance(user_schema, str):
+        user_schema = T.StructType.fromDDL(user_schema)
+    user_cols = [f.name for f in user_schema.fields] if user_schema else []
     keep = [f for f in df.schema.fields if f.name != html_col]
     out_schema = T.StructType(
         list(keep)
@@ -295,8 +353,11 @@ def extract_pages_canonical(
             T.StructField("text", T.StringType()),
             T.StructField("links_canon", CANON_LINK_TYPE),
         ]
+        + (list(user_schema.fields) if user_schema else [])
     )
     return df.mapInPandas(
-        lambda it: _extract_batches(it, html_col, enc_col, base_col),
+        lambda it: _extract_batches(
+            it, html_col, enc_col, base_col, expanders, user_extract, user_cols
+        ),
         schema=out_schema,
     )

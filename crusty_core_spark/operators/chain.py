@@ -52,6 +52,8 @@ class Candidate:
     url: str  # canonical
     host: str
     rel: str = ""
+    alt: str = ""  # trimmed img/link alt (types.rs:448)
+    text: str = ""  # trimmed anchor text (types.rs:449)
     depth: int = 0  # reference Task.level
     redirect: int = 0
     target: str = "Follow"
@@ -123,6 +125,24 @@ class JobChainState:
                 depth=0,
             )
         return st
+
+
+def selective_task_filter(targets, fn, name: str | None = None):
+    """Generic SelectiveTaskFilter combinator (task_filters.rs:24-47): wraps a
+    user task filter so it only applies to candidates whose LinkTarget is in
+    ``targets`` (e.g. ("Follow", "HeadFollow")); everything else passes.
+
+    Use with CrawlEngine(custom_task_filters=(selective_task_filter(
+    ("Follow",), my_filter),)) — exactly SelectiveTaskFilter::new(vec![...])."""
+    targets = tuple(targets)
+
+    def wrapper(cand, st):
+        if cand.target not in targets:
+            return "accept"
+        return fn(cand, st)
+
+    wrapper.__name__ = name or f"Selective_{getattr(fn, '__name__', 'filter')}"
+    return wrapper
 
 
 def _strip_www(host: str, www_allow: bool) -> str:

@@ -42,8 +42,8 @@ N_JOB_BUCKETS = 128
 _SCHED_COLS = ["job_id", "parent_seq_num", "url", "depth", "link_pos",
                "action", "filter"]
 _TASK_COLS = ["job_id", "task_seq", "url", "host", "depth", "redirect",
-              "target", "marker", "rel", "parent_url", "parent_seq",
-              "link_pos", "priority"]
+              "target", "marker", "rel", "alt", "text", "parent_url",
+              "parent_seq", "link_pos", "priority"]
 _LINEAGE_COLS = ["job_id", "url", "seed_url", "depth", "discovered_by"]
 _STATE_COLS = ["job_id", "root_url", "root_host", "root_scheme",
                "budget_used", "lpp_seq", "lpp_count", "robots_state",
@@ -63,7 +63,7 @@ def _nn(v, default=None):
     return v
 
 
-def make_chain_fn(cfg, custom_filters: tuple = ()):
+def make_chain_fn(cfg, custom_filters: tuple = (), drain: bool = False):
     user_agent = cfg.user_agent
 
     detail = getattr(cfg, "sched_log_detail", True)
@@ -105,6 +105,11 @@ def make_chain_fn(cfg, custom_filters: tuple = ()):
 
             def run_batch(batch, parent_seq_num, parent_url, parent_seq):
                 nonlocal seq_counter
+                if drain:
+                    # soft-timeout drain: responses are processed (robots
+                    # state above still mutates) but nothing new is scheduled
+                    # (task_scheduler.rs:134-157)
+                    return
                 for pos, c in enumerate(batch):
                     c.link_pos = pos
                     if not (c.url.startswith("http:")
@@ -125,6 +130,7 @@ def make_chain_fn(cfg, custom_filters: tuple = ()):
                     task_rows.append((job_id, seq_counter, sched.url,
                                       sched.host, sched.depth, sched.redirect,
                                       sched.target, sched.marker, sched.rel,
+                                      sched.alt, sched.text,
                                       parent_url, parent_seq, pos,
                                       sched.priority))
                     lineage_rows.append((job_id, sched.url, st.root_url,
@@ -145,6 +151,7 @@ def make_chain_fn(cfg, custom_filters: tuple = ()):
                 def to_cand(r) -> Candidate:
                     return Candidate(
                         url=r.url, host=r.host, rel=_nn(r.rel, ""),
+                        alt=_nn(r.alt, ""), text=_nn(r.text, ""),
                         depth=int(r.depth), redirect=int(r.redirect),
                         target=r.target, marker=int(r.marker),
                         seen_global=bool(_nn(r.seen_global, False)),
@@ -226,7 +233,7 @@ def make_chain_fn(cfg, custom_filters: tuple = ()):
 
 
 def run_chain_stage(chain_input, job_state, cfg, n_buckets: int = N_JOB_BUCKETS,
-                    custom_filters: tuple = ()):
+                    custom_filters: tuple = (), drain: bool = False):
     """chain_input (CHAIN_IN rows) × job_state (JOB_STATE rows) → CHAIN_OUT.
 
     Jobs are hashed into ``n_buckets`` cogroup keys; exact per-job serial
@@ -239,5 +246,6 @@ def run_chain_stage(chain_input, job_state, cfg, n_buckets: int = N_JOB_BUCKETS,
     return (
         ci.groupBy("_bucket")
         .cogroup(js.groupBy("_bucket"))
-        .applyInPandas(make_chain_fn(cfg, custom_filters), schema=CHAIN_OUT)
+        .applyInPandas(make_chain_fn(cfg, custom_filters, drain),
+                       schema=CHAIN_OUT)
     )

@@ -65,6 +65,11 @@ class CrawlEngine:
         cfg: CrawlConfig | None = None,
         hosts: DataFrame | None = None,
         custom_task_filters: tuple = (),
+        expanders: tuple | None = None,
+        user_extract=None,
+        user_extract_schema: str | None = None,
+        custom_status_filters: tuple = (),
+        custom_load_filters: tuple = (),
     ):
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
@@ -78,6 +83,22 @@ class CrawlEngine:
         #: picklable callables (cand, job_state) -> "accept"/"skip"/
         #: ("term", reason); NOT persisted in the manifest — re-pass on resume
         self.custom_task_filters = tuple(custom_task_filters)
+        #: task_expanders::Expander list (operators/expanders.py) — None →
+        #: built-in FollowLinks; add expanders.load_images for the reference's
+        #: LoadImages (img src scheduled as Load tasks)
+        self.expanders = expanders
+        #: custom-parser / TS analogue: user_extract(doc, task) -> dict of
+        #: extra columns (declared by user_extract_schema DDL) that land on
+        #: fetch_log rows (reference DocumentParser<P> + TaskStateValues)
+        self.user_extract = user_extract
+        self.user_extract_schema = user_extract_schema
+        #: status_filters::Filter / load_filters::Filter analogues —
+        #: picklable (status, content_type, url, depth) -> None | "term:X" /
+        #: (status, content_type, body, url, depth) -> None | "term:X";
+        #: applied AFTER the built-in filters, exactly the reference's
+        #: registration order (crawler.rs:108-143)
+        self.custom_status_filters = tuple(custom_status_filters)
+        self.custom_load_filters = tuple(custom_load_filters)
         self.io = TableIO(spark, workdir)
 
     # ------------------------------------------------------------------ seed
@@ -122,6 +143,8 @@ class CrawlEngine:
             "url",
             "host",
             F.lit("").alias("rel"),
+            F.lit("").alias("alt"),
+            F.lit("").alias("text"),
             F.lit(0).alias("depth"),
             F.lit(0).alias("redirect"),
             F.lit("Follow").alias("target"),
@@ -140,7 +163,9 @@ class CrawlEngine:
             r["action"]: r["n"] for r in self._sched_agg(chain_out).collect()
         }
         self._commit_chain_out(chain_out, it=0, remaining=None, fetch_log=None,
-                               counts={}, carry_states=None)
+                               counts={}, carry_states=None,
+                               touched_jobs=job_state.select("job_id"),
+                               finish_reason="RootRejected")
         chain_out.unpersist()
         self.io.set_state(
             iter=0,
@@ -190,6 +215,11 @@ class CrawlEngine:
         mark("start")
         cfg = self.cfg
         it = int(self.io.state["iter"]) + 1
+        #: soft-timeout drain (task_scheduler.rs:134-157): past the soft cap,
+        #: keep fetching the remaining frontier but expand/schedule nothing
+        drain = (
+            cfg.soft_timeout_iters is not None and it > cfg.soft_timeout_iters
+        )
         pending = self._pending_df(it)
 
         # --- politeness ready-selection (task_processor.rs:388-398 as a
@@ -245,11 +275,18 @@ class CrawlEngine:
         ct_ok = F.coalesce(ct_ok, F.lit(False))  # null content_type → reject
         is_redirect = F.col("status").isNotNull() & F.col("status").between(300, 399)
         canon_loc = canonicalize_udf(F.col("location"), F.col("url"))
+        # LinkTarget processing depth (types.rs:166-173, dispatch
+        # task_processor.rs:285-346): JustResolveDNS stops after resolve;
+        # Head stops after the (bodyless) status — redirect/content-type
+        # status filters still apply, the size cap and parse do not;
+        # Load/HeadLoad run the full load but never parse (to_parse below
+        # filters on FOLLOW_TARGETS); Follow/HeadFollow run everything.
         fetched = fetched.withColumn(
             "canon_location", F.when(is_redirect, canon_loc)
         ).withColumn(
             "action",
             F.when(F.col("resolve_failed"), F.lit("error:ResolveError"))
+            .when(F.col("target") == "JustResolveDNS", F.lit("resolved"))
             .when(F.col("status").isNull(), F.lit("error:HttpError"))
             .when(
                 is_redirect & (F.col("redirect") >= cfg.max_redirect),
@@ -261,12 +298,15 @@ class CrawlEngine:
             )
             .when(is_redirect, F.lit("term:Redirect"))
             .when(~ct_ok, F.lit("term:ContentType"))
+            .when(F.col("target") == "Head", F.lit("head"))
             .when(
                 F.length("html") > cfg.max_response_size,
                 F.lit("error:HttpTooBigResponse"),
             )
             .otherwise(F.lit("processed")),
         )
+        if self.custom_status_filters or self.custom_load_filters:
+            fetched = self._apply_custom_fetch_filters(fetched)
         fetched.persist()
         barrier(fetched, "fetch+classify")
 
@@ -279,7 +319,15 @@ class CrawlEngine:
         ).select(
             "job_id", "task_seq", "url", "depth", "html", "content_encoding"
         )
-        parsed = extract_pages_canonical(to_parse, base_col="url").persist()
+        if drain:
+            to_parse = to_parse.limit(0)
+        parsed = extract_pages_canonical(
+            to_parse,
+            base_col="url",
+            expanders=self.expanders,
+            user_extract=self.user_extract,
+            user_schema=self.user_extract_schema,
+        ).persist()
         barrier(parsed, "extract")
 
         link = F.col("link")
@@ -301,9 +349,11 @@ class CrawlEngine:
                 link["url"].alias("url"),
                 link["host"].alias("host"),
                 F.coalesce(link["rel"], F.lit("")).alias("rel"),
+                F.coalesce(link["alt"], F.lit("")).alias("alt"),
+                F.coalesce(link["text"], F.lit("")).alias("text"),
                 (F.col("depth") + 1).alias("depth"),  # Task::new types.rs:484
                 F.lit(0).alias("redirect"),
-                F.lit("Follow").alias("target"),
+                F.coalesce(link["target"], F.lit("Follow")).alias("target"),
                 F.lit(0).alias("marker"),
             )
         )
@@ -317,6 +367,8 @@ class CrawlEngine:
             F.col("canon_location").alias("url"),
             url_host(F.col("canon_location")).alias("host"),
             F.lit("").alias("rel"),
+            F.lit("").alias("alt"),
+            F.lit("").alias("text"),
             F.col("depth"),  # redirect keeps level (types.rs:484)
             (F.col("redirect") + 1).alias("redirect"),
             "target",
@@ -324,6 +376,8 @@ class CrawlEngine:
         )
 
         cands_raw = parsed_links.unionByName(redirect_cands)
+        if drain:
+            cands_raw = cands_raw.limit(0)
         cands_raw.persist()  # probe, pos-shard collect, backstop all read it
 
         # --- dedup check flag (task_filters.rs:184-192; commit stays in the
@@ -364,6 +418,8 @@ class CrawlEngine:
             "url",
             "host",
             "rel",
+            "alt",
+            "text",
             "depth",
             "redirect",
             "target",
@@ -386,11 +442,20 @@ class CrawlEngine:
         #     parallel across buckets); only TOUCHED jobs' states cross
         #     Python — untouched states are carried over JVM-side at commit
         chain_out = run_chain_stage(chain_input, job_state, self.cfg,
-                                    custom_filters=self.custom_task_filters)
+                                    custom_filters=self.custom_task_filters,
+                                    drain=drain)
         chain_out.persist()
         barrier(chain_out, "chain")
 
         # --- fetch_log rows (title + n_links folded in when detail is on)
+        user_cols = []
+        if self.user_extract_schema:
+            from pyspark.sql import types as PT
+
+            user_cols = [
+                f.name
+                for f in PT.StructType.fromDDL(self.user_extract_schema).fields
+            ]
         base_log = fetched.select(
             F.lit(it).alias("iter"),
             "job_id",
@@ -398,13 +463,17 @@ class CrawlEngine:
             "url",
             "depth",
             "redirect",
+            "target",
             "marker",
             "status",
             "action",
             F.length("html").cast("long").alias("bytes"),
+            # per-stage metric analogue (StatusMetrics.wait_duration,
+            # types.rs:242-246) in deterministic iteration ticks
+            (F.lit(it) - F.col("added_iter")).cast("long").alias("wait_iters"),
         )
         if cfg.fetch_log_detail:
-            titles = parsed.select("job_id", "task_seq", "title")
+            titles = parsed.select("job_id", "task_seq", "title", *user_cols)
             n_links = (
                 cands.filter(F.col("redirect") == 0)  # parsed links only
                 .groupBy("job_id", "task_seq")
@@ -419,9 +488,11 @@ class CrawlEngine:
             fetch_log = base_log.withColumn(
                 "n_links", F.lit(0)
             ).withColumn("title", F.lit(None).cast("string"))
+            user_cols = []
         fetch_log = fetch_log.select(
             "iter", "job_id", "task_seq", "url", "depth", "redirect",
-            "marker", "status", "action", "n_links", "title", "bytes",
+            "target", "marker", "status", "action", "n_links", "title",
+            "bytes", "wait_iters", *user_cols,
         )
 
         # one collect for BOTH count families (fetch actions + sched actions)
@@ -444,6 +515,8 @@ class CrawlEngine:
             counts=counts,
             wall_ms=int((time.time() - t0) * 1000),
             carry_states=carry_states,
+            touched_jobs=touched_jobs,
+            finish_reason="SoftTimeout" if drain else "Complete",
         )
         mark("commit")
         chain_out.unpersist()
@@ -468,10 +541,64 @@ class CrawlEngine:
             print(f"[profile] iter={it} ready={n_ready} {deltas}", flush=True)
         return counts
 
+    def _apply_custom_fetch_filters(self, fetched: DataFrame) -> DataFrame:
+        """status_filters::Filter / load_filters::Filter extension points.
+
+        Reference semantics (task_processor.rs:60-80, status_filters.rs:9-14,
+        load_filters.rs:8-19): custom status filters run after the built-in
+        Redirect/ContentType (so only on rows those accepted); custom load
+        filters run after the body loaded (action == processed), before
+        parse. A filter returning a "term:X"/"error:X" string overrides the
+        action; None/"accept" passes; filter errors are non-fatal. Only paid
+        when filters are registered (one extra Arrow crossing)."""
+        sf = self.custom_status_filters
+        lf = self.custom_load_filters
+        from crusty_core_spark.functions.extract import decode_body
+
+        schema = fetched.schema
+        cols = [f.name for f in schema.fields]
+
+        def apply(batches):
+            for pdf in batches:
+                out_actions = []
+                for r in pdf.itertuples(index=False):
+                    a = r.action
+                    if sf and a in ("processed", "head",
+                                    "error:HttpTooBigResponse"):
+                        for f in sf:
+                            try:
+                                v = f(r.status, r.content_type, r.url, r.depth)
+                            except Exception:
+                                continue
+                            if isinstance(v, str) and v not in ("accept",):
+                                a = v
+                                break
+                    if lf and a == "processed" and int(r.marker) != 1:
+                        body = decode_body(
+                            bytes(r.html) if r.html is not None else b"",
+                            r.content_encoding,
+                        )
+                        for f in lf:
+                            try:
+                                v = f(r.status, r.content_type, body, r.url,
+                                      r.depth)
+                            except Exception:
+                                continue
+                            if isinstance(v, str) and v not in ("accept",):
+                                a = v
+                                break
+                    out_actions.append(a)
+                pdf = pdf.copy()
+                pdf["action"] = out_actions
+                yield pdf[cols]
+
+        return fetched.mapInPandas(apply, schema=schema)
+
     # ---------------------------------------------------------------- commit
 
     def _commit_chain_out(self, chain_out, it, remaining, fetch_log, counts,
-                          wall_ms=0, carry_states=None):
+                          wall_ms=0, carry_states=None, touched_jobs=None,
+                          finish_reason="Complete"):
         """Commit an iteration. Every write is O(this iteration's work):
 
         - ``chain`` append: tasks/sched/lineage log rows (state rows are
@@ -527,6 +654,38 @@ class CrawlEngine:
                 "shard",
             )
 
+        if self.cfg.delay_ms > 0:
+            # politeness mode keeps an explicit compact queue (leftover ∪ new)
+            tasks = self._tasks_slice(chain_out, it)
+            if remaining is not None:
+                tasks = remaining.unionByName(tasks)
+        else:
+            tasks = None
+
+        def _job_log_write():
+            # per-job Finished record (task_scheduler.rs:158-167): a job
+            # touched this iteration with an empty frontier afterwards is done
+            if touched_jobs is None:
+                return
+            next_pending = tasks if tasks is not None else tasks_out
+            finished = touched_jobs.join(
+                next_pending.select("job_id").distinct(), "job_id", "left_anti"
+            )
+            states = chain_out.filter(F.col("row_kind") == "state").select(
+                "job_id", "budget_used", "resp_counter", "seq_counter"
+            )
+            io.append(
+                "job_log",
+                finished.join(states, "job_id", "left").select(
+                    "job_id",
+                    F.lit(it).cast("long").alias("iter"),
+                    F.lit(finish_reason).alias("reason"),
+                    "budget_used",
+                    "resp_counter",
+                    "seq_counter",
+                ),
+            )
+
         writers = [
             lambda: io.append(
                 "chain",
@@ -536,12 +695,9 @@ class CrawlEngine:
             ),
             _job_state_write,
             _url_seen_write,
+            _job_log_write,
         ]
-        if self.cfg.delay_ms > 0:
-            # politeness mode keeps an explicit compact queue (leftover ∪ new)
-            tasks = self._tasks_slice(chain_out, it)
-            if remaining is not None:
-                tasks = remaining.unionByName(tasks)
+        if tasks is not None:
             writers.append(
                 lambda: io.overwrite("frontier_pending", tasks)
             )
@@ -588,8 +744,8 @@ class CrawlEngine:
     def _tasks_slice(self, chain_out, it) -> DataFrame:
         return chain_out.filter(F.col("row_kind") == "task").select(
             "job_id", "task_seq", "url", "host", "depth", "redirect",
-            "target", "marker", "rel", "parent_url", "parent_seq",
-            "link_pos", "priority",
+            "target", "marker", "rel", "alt", "text", "parent_url",
+            "parent_seq", "link_pos", "priority",
             F.lit(it + 1).cast("long").alias("next_fetch_iter"),
             F.lit(it).cast("long").alias("added_iter"),
         )
@@ -622,6 +778,11 @@ class CrawlEngine:
     def pending_count(self) -> int:
         """Exact pending count (maintained arithmetically — no Spark job)."""
         return int(self.io.state.get("pending", 0))
+
+    def job_log_df(self) -> DataFrame:
+        """Per-job Finished records (JobStatus::Finished analogue,
+        types.rs:325-328): one row per job on completion/root-rejection."""
+        return self.io.read("job_log")
 
     def sched_log_df(self) -> DataFrame:
         return self.io.read("chain").filter(

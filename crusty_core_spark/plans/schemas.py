@@ -2,7 +2,8 @@
 
 FRONTIER = (
     "job_id long, task_seq long, url string, host string, depth int, "
-    "redirect int, target string, marker int, rel string, parent_url string, "
+    "redirect int, target string, marker int, rel string, alt string, "
+    "text string, parent_url string, "
     "parent_seq long, link_pos int, priority int, next_fetch_iter long, "
     "added_iter long"
 )
@@ -18,8 +19,13 @@ URL_SEEN = "job_id long, url string, added_iter long"
 
 FETCH_LOG = (
     "iter long, job_id long, task_seq long, url string, depth int, "
-    "redirect int, marker int, status int, action string, n_links int, "
-    "title string, bytes long"
+    "redirect int, target string, marker int, status int, action string, "
+    "n_links int, title string, bytes long, wait_iters long"
+)
+
+JOB_LOG = (
+    "job_id long, iter long, reason string, budget_used long, "
+    "resp_counter long, seq_counter long"
 )
 
 SCHED_LOG = (
@@ -45,7 +51,8 @@ METRICS = (
 # chain-stage exchange schemas (operators/chain_stage.py)
 CHAIN_IN = (
     "job_id long, kind string, task_seq long, link_pos int, url string, "
-    "host string, rel string, depth int, redirect int, target string, "
+    "host string, rel string, alt string, text string, depth int, "
+    "redirect int, target string, "
     "marker int, seen_global boolean, status int, content_type string, "
     "content_encoding string, body binary, action string"
 )
@@ -53,6 +60,7 @@ CHAIN_IN = (
 CHAIN_OUT = (
     "row_kind string, job_id long, task_seq long, url string, host string, "
     "depth int, redirect int, target string, marker int, rel string, "
+    "alt string, text string, "
     "parent_url string, parent_seq long, link_pos int, priority int, action string, "
     "filter string, parent_seq_num long, "
     "root_url string, root_host string, root_scheme string, "

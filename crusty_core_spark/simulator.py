@@ -29,7 +29,11 @@ from dataclasses import dataclass, field
 
 from crusty_core_spark.config import CrawlConfig
 from crusty_core_spark.functions.canonicalize import canonicalize_url
-from crusty_core_spark.functions.extract import decode_body, extract_document
+from crusty_core_spark.functions.extract import (
+    decode_body,
+    expand_document,
+    extract_document,
+)
 from crusty_core_spark.operators.chain import (
     FOLLOW_TARGETS,
     ROBOTS_MARKER,
@@ -55,6 +59,7 @@ class SimResult:
     url_seen: dict = field(default_factory=dict)  # job_id -> sorted list
     lineage: list = field(default_factory=list)
     fetch_log: list = field(default_factory=list)
+    job_log: list = field(default_factory=list)  # per-job Finished records
     n_iterations: int = 0
 
 
@@ -70,12 +75,27 @@ class ReferenceSimulator:
         seeds: list[tuple[int, str]],
         cfg: CrawlConfig | None = None,
         hosts: dict[str, list[str]] | None = None,
+        custom_task_filters: tuple = (),
+        expanders: tuple | None = None,
+        user_extract=None,
+        custom_status_filters: tuple = (),
+        custom_load_filters: tuple = (),
     ):
         self.pages = pages
         self.seeds = seeds
         self.cfg = cfg or CrawlConfig()
         #: optional DNS table host→addrs; mirrors operators/resolve.py
         self.hosts = hosts
+        #: the same extension surface the engine exposes (parity-tested)
+        self.custom_task_filters = tuple(custom_task_filters)
+        if expanders is None:
+            from crusty_core_spark.operators.expanders import DEFAULT_EXPANDERS
+
+            expanders = DEFAULT_EXPANDERS
+        self.expanders = tuple(expanders)
+        self.user_extract = user_extract
+        self.custom_status_filters = tuple(custom_status_filters)
+        self.custom_load_filters = tuple(custom_load_filters)
 
     def run(self) -> SimResult:
         cfg = self.cfg
@@ -98,7 +118,9 @@ class ReferenceSimulator:
             res.url_seen[job_id] = st.seen
             root = Candidate(url=root_url, host=host, depth=0, target="Follow")
             # root filtered with task_seq_num = 0 (task_scheduler.rs:128)
-            action, name, scheduled = chain_decide(root, st, cfg, 0, cfg.user_agent)
+            action, name, scheduled = chain_decide(
+                root, st, cfg, 0, cfg.user_agent, self.custom_task_filters
+            )
             res.sched_log.append(
                 self._sched_row(job_id, 0, root, action, name, iter_n=0)
             )
@@ -117,10 +139,18 @@ class ReferenceSimulator:
                         "discovered_by": None,
                     }
                 )
+            else:
+                # root rejected → JobFinished(Err) (task_scheduler.rs:128-132)
+                res.job_log.append(self._job_row(job_id, 0, "RootRejected",
+                                                 st, resp_counters,
+                                                 seq_counters))
 
         # --- iteration loop (the Spark batch loop analogue)
+        finished: set[int] = {r["job_id"] for r in res.job_log}
         it = 1
         while pending and it <= cfg.max_iterations:
+            drain = (cfg.soft_timeout_iters is not None
+                     and it > cfg.soft_timeout_iters)
             ready = self._select_ready(pending, it)
             if not ready:
                 it += 1
@@ -129,16 +159,37 @@ class ReferenceSimulator:
             pending = [t for t in pending if (t.job_id, t.task_seq) not in ready_keys]
             # deterministic processing order within the batch
             ready.sort(key=lambda t: (t.job_id, t.task_seq))
+            touched = {t.job_id for t in ready}
             for task in ready:
                 new_tasks = self._process_response(task, jobs, seq_counters,
-                                                   resp_counters, res, it)
+                                                   resp_counters, res, it,
+                                                   drain=drain)
                 for nt in new_tasks:
                     nt.next_fetch_iter = it + 1
                     pending.append(nt)
+            # per-job Finished record (task_scheduler.rs:158-167): a touched
+            # job whose frontier is now empty is complete
+            still = {t.job_id for t in pending}
+            for j in sorted(touched - still - finished):
+                finished.add(j)
+                res.job_log.append(self._job_row(
+                    j, it, "SoftTimeout" if drain else "Complete",
+                    jobs[j], resp_counters, seq_counters))
             it += 1
         res.n_iterations = it
         res.url_seen = {j: sorted(s.seen) for j, s in jobs.items()}
         return res
+
+    @staticmethod
+    def _job_row(job_id, it, reason, st, resp_counters, seq_counters):
+        return {
+            "job_id": job_id,
+            "iter": it,
+            "reason": reason,
+            "budget_used": st.budget_used,
+            "resp_counter": resp_counters.get(job_id, 0),
+            "seq_counter": seq_counters.get(job_id, 0),
+        }
 
     # ---------- politeness ready-selection ----------
 
@@ -166,6 +217,7 @@ class ReferenceSimulator:
         resp_counters: dict[int, int],
         res: SimResult,
         it: int,
+        drain: bool = False,
     ) -> list[SimTask]:
         cfg = self.cfg
         job_id = task.job_id
@@ -188,8 +240,11 @@ class ReferenceSimulator:
             addrs = self.hosts.get(cand.host)
             usable = [a for a in addrs or [] if not ip_blacklisted(a)]
             resolve_failed = not usable
+        user_extra: dict = {}
         if resolve_failed:
             action = "error:ResolveError"  # resolver.rs:72-106
+        elif cand.target == "JustResolveDNS":
+            action = "resolved"  # stop after resolve (task_processor.rs:285)
         elif page is None:
             action = "error:HttpError"  # fetch failure (no such row)
         else:
@@ -223,12 +278,25 @@ class ReferenceSimulator:
             # status filter: ContentType (status_filters.rs:16-40)
             elif not any(a in ctype for a in cfg.accepted_content_types):
                 action = "term:ContentType"
+            elif cand.target == "Head":
+                action = "head"  # bodyless status only (task_processor.rs:307)
             else:
                 body = bytes(page.get("html") or b"")
                 if len(body) > cfg.max_response_size:
                     action = "error:HttpTooBigResponse"  # task_processor.rs:66-68
                 else:
                     body = decode_body(body, page.get("content_encoding"))
+            # custom status filters run after the built-ins (registration
+            # order, crawler.rs:108-143) — only on rows those accepted
+            if action in ("processed", "head", "error:HttpTooBigResponse"):
+                action = self._apply_custom_status(action, status, ctype, cand)
+            if action == "processed":
+                # custom load filters (post-body, pre-parse); robots rows are
+                # handled by the built-in robots load filter below
+                if cand.marker != ROBOTS_MARKER:
+                    action = self._apply_custom_load(action, status, ctype,
+                                                     body, cand)
+            if action == "processed":
                     # load filter: RobotsTxt (load_filters.rs:53-112)
                     if cfg.robots_txt and cand.marker == ROBOTS_MARKER:
                         if 400 <= status < 500:
@@ -247,23 +315,34 @@ class ReferenceSimulator:
                             rr.parent_seq = task.task_seq
                             pushed.append(rr)
                             st.stashed_root = None
-                    # parse + expand: FollowLinks (select_task_expanders.rs:37-51)
-                    if cand.target in FOLLOW_TARGETS:
+                    # parse + expand via the SHARED expander list
+                    # (select_task_expanders.rs; functions/extract.py) —
+                    # skipped in soft-timeout drain mode
+                    if cand.target in FOLLOW_TARGETS and not drain:
                         doc = extract_document(body)
                         title = doc["title"]
-                        for link in doc["links"]:
-                            u = canonicalize_url(link["href"], base=cand.url)
-                            if u is None:
-                                continue  # Task::new parse failure → dropped
-                            h, sch = _host_scheme(u)
+                        tinfo = {"url": cand.url, "depth": cand.depth}
+                        if self.user_extract is not None:
+                            from crusty_core_spark.functions.extract import (
+                                _safe_user_extract,
+                            )
+
+                            user_extra = _safe_user_extract(
+                                self.user_extract, doc, tinfo
+                            )
+                        for link in expand_document(
+                            doc, tinfo, cand.url, self.expanders
+                        ):
                             parsed.append(
                                 Candidate(
-                                    url=u,
-                                    host=h,
+                                    url=link["url"],
+                                    host=link["host"],
                                     rel=link["rel"],
+                                    alt=link["alt"],
+                                    text=link["text"],
                                     depth=cand.depth,
                                     redirect=0,
-                                    target="Follow",
+                                    target=link["target"],
                                     marker=0,
                                     parent_url=cand.url,
                                     parent_seq=task.task_seq,
@@ -290,14 +369,19 @@ class ReferenceSimulator:
                 "iter": it,
                 "url": cand.url,
                 "depth": cand.depth,
+                "target": cand.target,
                 "status": status,
                 "action": action,
                 "n_links": n_links,
                 "title": title,
+                **user_extra,
             }
         )
 
-        # --- schedule children (task_scheduler.rs:82-116)
+        # --- schedule children (task_scheduler.rs:82-116); soft-timeout
+        #     drain stops expanding (nothing is scheduled, frontier drains)
+        if drain:
+            return []
         batch = pushed + parsed
         out: list[SimTask] = []
         for pos, link in enumerate(batch):
@@ -313,7 +397,8 @@ class ReferenceSimulator:
             depth = cand.depth if link.redirect > 0 else cand.depth + 1
             link.depth = depth
             a, name, scheduled = chain_decide(
-                link, st, self.cfg, parent_seq_num, self.cfg.user_agent
+                link, st, self.cfg, parent_seq_num, self.cfg.user_agent,
+                self.custom_task_filters,
             )
             res.sched_log.append(
                 self._sched_row(job_id, parent_seq_num, link, a, name, it)
@@ -335,6 +420,26 @@ class ReferenceSimulator:
                 }
             )
         return out
+
+    def _apply_custom_status(self, action, status, ctype, cand) -> str:
+        for f in self.custom_status_filters:
+            try:
+                v = f(status, ctype, cand.url, cand.depth)
+            except Exception:
+                continue  # filter errors are non-fatal (task_scheduler.rs:67-70)
+            if isinstance(v, str) and v != "accept":
+                return v
+        return action
+
+    def _apply_custom_load(self, action, status, ctype, body, cand) -> str:
+        for f in self.custom_load_filters:
+            try:
+                v = f(status, ctype, body, cand.url, cand.depth)
+            except Exception:
+                continue
+            if isinstance(v, str) and v != "accept":
+                return v
+        return action
 
     @staticmethod
     def _sched_row(job_id, parent_seq_num, cand, action, name, iter_n):

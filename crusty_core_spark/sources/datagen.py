@@ -149,15 +149,27 @@ def _html_body(spec: CorpusSpec, host_i: int, page_i: int) -> bytes:
         for i in range(n_words)
     ]
     anchors = "\n".join(
-        '<a href="%s"%s>link %d</a>'
-        % (href, ' rel="no-follow"' if rel else "", i)
+        '<a href="%s"%s%s>link %d</a>'
+        % (
+            href,
+            ' rel="no-follow"' if rel else "",
+            ' alt=" alt %d "' % i if _h(spec.seed, "alt", host_i, page_i, i) % 5 == 0
+            else "",
+            i,
+        )
         for i, (href, rel) in enumerate(links)
+    )
+    # deterministic <img> tags so the LoadImages expander has coverage
+    n_imgs = _h(spec.seed, "img", host_i, page_i) % 3
+    images = "\n".join(
+        '<img src="/static/img%d_%d.png" alt="pic %d">' % (page_i, k, k)
+        for k in range(n_imgs)
     )
     title = "Page p%d of site%d" % (page_i, host_i)
     html = (
         "<html><head><title>%s</title></head><body>\n"
-        "<h1>%s</h1>\n<p>%s</p>\n%s\n</body></html>"
-    ) % (title, title, " ".join(words), anchors)
+        "<h1>%s</h1>\n<p>%s</p>\n%s\n%s\n</body></html>"
+    ) % (title, title, " ".join(words), images, anchors)
     return html.encode("utf-8")
 
 

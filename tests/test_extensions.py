@@ -1,0 +1,207 @@
+"""Extension-surface parity: expanders, LinkTarget pipelines, custom
+status/load filters, user extract columns, job_log, soft-timeout drain.
+
+Every extension runs through BOTH the Spark engine and the reference
+simulator with the same configuration; crawl order/url_seen/lineage must
+stay exact (the simulator is the executable spec — reference citations in
+simulator.py/chain.py)."""
+
+from __future__ import annotations
+
+from crusty_core_spark.config import CrawlConfig
+from crusty_core_spark.operators import expanders as X
+from crusty_core_spark.operators.chain import selective_task_filter
+from crusty_core_spark.operators.filters import (
+    load_content_type,
+    status_code_range,
+)
+from crusty_core_spark.plans.engine import CrawlEngine
+from crusty_core_spark.simulator import ReferenceSimulator
+from crusty_core_spark.sources.datagen import CorpusSpec, gen_corpus
+
+from tests.conftest import pages_df
+from tests.test_crawl_parity import assert_parity
+
+
+SPEC = CorpusSpec(n_hosts=4, base_pages_per_host=10, seed=77)
+
+
+def run_both(spark, workdir, cfg, **ext):
+    rows, seeds = gen_corpus(SPEC)
+    sim_ext = {k: v for k, v in ext.items() if k != "user_extract_schema"}
+    sim = ReferenceSimulator(
+        {r["url"]: r for r in rows}, seeds, cfg, **sim_ext
+    ).run()
+    eng = CrawlEngine(
+        spark,
+        pages_df(spark, rows),
+        workdir,
+        cfg,
+        custom_task_filters=ext.get("custom_task_filters", ()),
+        expanders=ext.get("expanders"),
+        user_extract=ext.get("user_extract"),
+        user_extract_schema=ext.get("user_extract_schema"),
+        custom_status_filters=ext.get("custom_status_filters", ()),
+        custom_load_filters=ext.get("custom_load_filters", ()),
+    )
+    eng.seed(seeds)
+    eng.run()
+    return sim, eng
+
+
+def job_log_engine(eng):
+    return sorted(
+        (r.job_id, r.iter, r.reason, r.budget_used, r.resp_counter,
+         r.seq_counter)
+        for r in eng.job_log_df().collect()
+    )
+
+
+def job_log_sim(sim):
+    return sorted(
+        (r["job_id"], r["iter"], r["reason"], r["budget_used"],
+         r["resp_counter"], r["seq_counter"])
+        for r in sim.job_log
+    )
+
+
+def test_load_images_expander_parity(spark, workdir):
+    """LoadImages (select_task_expanders.rs:79-93): img src scheduled as
+    Load-target tasks — fetched (404 in this corpus: no image rows exist),
+    never parsed — with exact engine/simulator parity."""
+    cfg = CrawlConfig(page_budget=30)
+    sim, eng = run_both(
+        spark, workdir, cfg, expanders=(X.follow_links, X.load_images)
+    )
+    assert_parity(sim, eng)
+    targets = {
+        r.target
+        for r in eng.io.read("fetch_log").select("target").distinct().collect()
+    }
+    assert "Load" in targets  # images (and robots) fetched as Load tasks
+    img_rows = (
+        eng.io.read("fetch_log")
+        .filter("url LIKE '%/static/img%'")
+        .collect()
+    )
+    assert img_rows, "no image tasks were scheduled"
+    assert all(r.target == "Load" for r in img_rows)
+
+
+def test_link_target_reduced_pipelines(spark, workdir):
+    """JustResolveDNS/Head targets run reduced pipelines
+    (task_processor.rs:285-346): resolved/head actions in fetch_log, no
+    parse, exact parity."""
+
+    def head_and_dns(doc, task):
+        out = []
+        for link in doc["links"][:2]:
+            out.append(dict(link, target="Head"))
+        for link in doc["links"][2:3]:
+            out.append(dict(link, target="JustResolveDNS"))
+        return out
+
+    cfg = CrawlConfig(page_budget=25)
+    sim, eng = run_both(
+        spark, workdir, cfg, expanders=(X.follow_links, head_and_dns)
+    )
+    assert_parity(sim, eng)
+    actions = {
+        r.action
+        for r in eng.io.read("fetch_log").select("action").distinct().collect()
+    }
+    assert "head" in actions
+    assert "resolved" in actions
+    # Head/JustResolveDNS rows are never parsed (n_links stays 0)
+    for r in eng.io.read("fetch_log").filter(
+        "target IN ('Head', 'JustResolveDNS')"
+    ).collect():
+        assert r.n_links == 0
+
+
+def test_user_extract_column_lands_in_fetch_log(spark, workdir):
+    """Custom-parser / TS analogue: user_extract's extra column appears on
+    fetch_log rows (reference DocumentParser<P> + TaskStateValues,
+    examples/simple-custom-parser/main.rs:128-142)."""
+
+    def n_words(doc, task):
+        return {"n_words": len((doc["text"] or "").split())}
+
+    cfg = CrawlConfig(page_budget=15)
+    sim, eng = run_both(
+        spark, workdir, cfg,
+        user_extract=n_words, user_extract_schema="n_words int",
+    )
+    assert_parity(sim, eng)
+    log = {
+        (r.job_id, r.task_seq): r.n_words
+        for r in eng.io.read("fetch_log").collect()
+    }
+    sim_log = {
+        (r["job_id"], r["task_seq"]): r.get("n_words")
+        for r in sim.fetch_log
+    }
+    assert log == sim_log
+    assert any(v is not None and v > 0 for v in log.values())
+
+
+def test_custom_status_and_load_filters_parity(spark, workdir):
+    """status_filters::Filter / load_filters::Filter extension points +
+    the built-in post-load ContentType (load_filters.rs:21-51)."""
+    sf = (status_code_range(200, 299, reason="Non2xx"),)
+    lf = (load_content_type(("text/html",)),)  # robots text/plain exempt
+    cfg = CrawlConfig(page_budget=25)
+    sim, eng = run_both(
+        spark, workdir, cfg,
+        custom_status_filters=sf, custom_load_filters=lf,
+    )
+    assert_parity(sim, eng)
+    actions = {
+        r.action
+        for r in eng.io.read("fetch_log").select("action").distinct().collect()
+    }
+    assert "term:LoadContentType" in actions or "term:Non2xx" in actions
+
+
+def test_selective_task_filter_combinator(spark, workdir):
+    """Generic SelectiveTaskFilter (task_filters.rs:24-47): the wrapped
+    filter applies to Follow targets only; Load targets (robots) pass."""
+    hits = []
+
+    def block_deep(cand, st):
+        if cand.depth >= 2:
+            return "skip"
+        return "accept"
+
+    filt = selective_task_filter(("Follow", "HeadFollow"), block_deep)
+    cfg = CrawlConfig(page_budget=25)
+    sim, eng = run_both(
+        spark, workdir, cfg, custom_task_filters=(filt,)
+    )
+    assert_parity(sim, eng)
+    depths = {
+        r.depth for r in eng.io.read("fetch_log").select("depth").collect()
+    }
+    assert max(depths) <= 2  # depth-2 candidates were skipped
+
+
+def test_job_log_parity_and_reasons(spark, workdir):
+    cfg = CrawlConfig(page_budget=12)
+    sim, eng = run_both(spark, workdir, cfg)
+    assert_parity(sim, eng)
+    assert job_log_engine(eng) == job_log_sim(sim)
+    assert job_log_engine(eng), "no job completion rows"
+    assert all(r[2] == "Complete" for r in job_log_engine(eng))
+
+
+def test_soft_timeout_drain_parity(spark, workdir):
+    """Soft-timeout drain (task_scheduler.rs:134-157): past the cap the
+    frontier drains without expanding; finished jobs record SoftTimeout."""
+    cfg = CrawlConfig(page_budget=None, soft_timeout_iters=2)
+    sim, eng = run_both(spark, workdir, cfg)
+    assert_parity(sim, eng)
+    assert job_log_engine(eng) == job_log_sim(sim)
+    reasons = {r[2] for r in job_log_engine(eng)}
+    assert "SoftTimeout" in reasons
+    # engine drained: run() terminated with an empty frontier
+    assert eng.pending_count() == 0
