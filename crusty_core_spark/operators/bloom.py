@@ -65,35 +65,40 @@ def _empty_bitset(n_bits: int) -> bytes:
     return bytes(n_bits // 8)
 
 
-def _blobs_broadcast(io: TableIO, cfg):
-    """Driver-side shard bitsets with per-partition caching.
+def _load_blobs(io: TableIO) -> dict[int, tuple[np.ndarray, int]]:
+    """Driver-side shard bitsets (+ n_items) with per-partition caching.
 
     The manifest maps shard_id → its single current dir; a shard whose dir
-    pointer is unchanged since the last probe is served from the cache (no
-    re-read). Returns a broadcast of {shard_id: np.uint8 array}; the previous
-    broadcast is destroyed when the snapshot moves."""
+    pointer is unchanged since the last read is served from the cache (no
+    re-read). pyarrow reads local files directly — no Spark job."""
     import pyarrow.parquet as pq
 
-    snap = io.snapshot_id(SHARDS_TABLE)
-    cached = getattr(io, "_bloom_bc", None)
-    if cached is not None and cached[0] == snap:
-        return cached[1]
-
     cache: dict = getattr(io, "_bloom_blob_cache", None) or {}
-    blobs: dict[int, np.ndarray] = {}
+    blobs: dict[int, tuple[np.ndarray, int]] = {}
     new_cache: dict = {}
     for sid_str, rels in io._parts(SHARDS_TABLE).items():
         rel = rels[-1]
         hit = cache.get(sid_str)
         if hit is not None and hit[0] == rel:
-            arr = hit[1]
+            arr, n = hit[1], hit[2]
         else:
             tbl = pq.read_table(os.path.join(io.root, SHARDS_TABLE, rel))
             arr = np.frombuffer(tbl.column("bitset")[0].as_py(), dtype=np.uint8)
-        new_cache[sid_str] = (rel, arr)
-        blobs[int(sid_str)] = arr
+            n = int(tbl.column("n_items")[0].as_py())
+        new_cache[sid_str] = (rel, arr, n)
+        blobs[int(sid_str)] = (arr, n)
     io._bloom_blob_cache = new_cache
+    return blobs
 
+
+def _blobs_broadcast(io: TableIO, cfg):
+    """Broadcast of {shard_id: bitset}; rebuilt only when the shards table
+    snapshot moves, and the previous broadcast is destroyed (no leak)."""
+    snap = io.snapshot_id(SHARDS_TABLE)
+    cached = getattr(io, "_bloom_bc", None)
+    if cached is not None and cached[0] == snap:
+        return cached[1]
+    blobs = {sid: arr for sid, (arr, _n) in _load_blobs(io).items()}
     bc = io.spark.sparkContext.broadcast(blobs)
     if cached is not None:
         try:
@@ -188,23 +193,75 @@ def update(
     io: TableIO,
     cfg,
     host_col: str = "host",
+    touched_ids: list | None = None,
+    n_accepted: int | None = None,
 ) -> None:
     """OR the accepted URLs' bits into their shards.
 
     Partition-level commit: only the TOUCHED shards are read (pruned via the
     manifest), merged, and rewritten — untouched shards' files are untouched
-    bytes on disk. O(touched shards) per iteration, not O(table)."""
+    bytes on disk. O(touched shards) per iteration, not O(table).
+    ``touched_ids`` (the accepted rows' distinct shard ids) can be passed in
+    when the caller already collected them (the engine folds this into its
+    one per-iteration counts collect) — otherwise computed here."""
     n_bits = cfg.bloom_bits_per_shard
     upd = accepted.select(
         shard_id_col(F.col(host_col), cfg.n_bloom_shards).alias("shard_id"),
         positions_col(F.col("job_id"), F.col("url"),
                       cfg.bloom_num_hashes, n_bits).alias("_pos"),
     )
-    touched_ids = [
-        r[0] for r in upd.select("shard_id").distinct().collect()
-    ]
+    if touched_ids is None:
+        touched_ids = [
+            r[0] for r in upd.select("shard_id").distinct().collect()
+        ]
     if not touched_ids:
         return
+
+    # low-latency path for thin iterations: when the batch is small and the
+    # shards fit the driver (same bound as the broadcast probe), merge the
+    # bits driver-side in numpy (ONE collect, no cogroup shuffle) and keep
+    # the blob cache warm for the next probe. Big iterations take the
+    # cogroup path below — O(touched shards) either way.
+    total_bytes = cfg.n_bloom_shards * (n_bits // 8)
+    if (
+        n_accepted is not None
+        and n_accepted <= 50_000
+        and total_bytes <= 64 * 1024 * 1024
+    ):
+        import pyarrow as pa
+        from pyspark.sql import types as T
+
+        rows = upd.collect()
+        blobs = _load_blobs(io) if io.exists(SHARDS_TABLE) else {}
+        merged: dict[int, tuple[np.ndarray, int]] = {}
+        for r in rows:
+            sid = int(r["shard_id"])
+            if sid not in merged:
+                old = blobs.get(sid)
+                merged[sid] = (
+                    old[0].copy() if old is not None
+                    else np.zeros(n_bits // 8, dtype=np.uint8),
+                    old[1] if old is not None else 0,
+                )
+            bits, n = merged[sid]
+            p = np.asarray(r["_pos"], dtype=np.int64)
+            np.bitwise_or.at(bits, p >> 3, (1 << (p & 7)).astype(np.uint8))
+            merged[sid] = (bits, n + 1)
+        arrow_schema = pa.schema(
+            [("shard_id", pa.int32()), ("bitset", pa.binary()),
+             ("n_items", pa.int64())]
+        )
+        io.overwrite_partitions_local(
+            SHARDS_TABLE,
+            {
+                sid: [{"shard_id": sid, "bitset": bits.tobytes(), "n_items": n}]
+                for sid, (bits, n) in sorted(merged.items())
+            },
+            arrow_schema,
+            T.StructType.fromDDL(SHARD_SCHEMA),
+        )
+        return
+
     if io.exists(SHARDS_TABLE):
         shards = io.read_partitions(SHARDS_TABLE, touched_ids)
     else:
@@ -233,6 +290,7 @@ def update(
         .applyInPandas(fn, schema=SHARD_SCHEMA)
     )
     io.overwrite_partitions(SHARDS_TABLE, touched, "shard_id")
+    io._bloom_blob_cache = {}  # spark-side merge → invalidate the driver cache
 
 
 def dedup_flag(

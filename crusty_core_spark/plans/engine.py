@@ -166,12 +166,21 @@ class CrawlEngine:
                                counts={}, carry_states=None,
                                touched_jobs=job_state.select("job_id"),
                                finish_reason="RootRejected")
+        # collect while chain_out is still cached: a recompute would let
+        # Catalyst prune the cogroup input columns out from under bucket_fn
+        seeded_buckets = [
+            r[0]
+            for r in chain_out.filter(F.col("row_kind") == "task")
+            .select(F.pmod(F.col("job_id"), F.lit(N_JOB_BUCKETS)).cast("int"))
+            .distinct().collect()
+        ]
         chain_out.unpersist()
         self.io.set_state(
             iter=0,
             seeded=True,
             cfg=self.cfg.to_dict(),
             pending=self._sched_counts.get("accept", 0),
+            pending_buckets=sorted(seeded_buckets),
         )
         self.io.checkpoint("iter-000000")
 
@@ -246,17 +255,25 @@ class CrawlEngine:
         #     exactly the jobs with ready rows (candidates inherit their
         #     parent's job_id), so the per-job state read/shuffle/write is
         #     pruned to the touched job-buckets — O(touched), not O(all jobs).
-        #     The distinct-bucket collect runs over the compact pending set.
-        touched_buckets = [
-            r[0]
-            for r in pending.select(
-                F.pmod(F.col("job_id"), F.lit(N_JOB_BUCKETS)).cast("int")
-            ).distinct().collect()
-        ]
+        #     The bucket set was computed by the PREVIOUS iteration's counts
+        #     collect and carried in the manifest (no extra Spark job; falls
+        #     back to a distinct over the compact pending set on old
+        #     checkpoints). Politeness mode accumulates (a superset is safe —
+        #     the semi-join below still prunes to touched jobs).
+        touched_buckets = self.io.state.get("pending_buckets")
+        if touched_buckets is None:
+            touched_buckets = [
+                r[0]
+                for r in pending.select(
+                    F.pmod(F.col("job_id"), F.lit(N_JOB_BUCKETS)).cast("int")
+                ).distinct().collect()
+            ]
         bucket_states = self.io.read_partitions(
             "job_state", touched_buckets
         ).select(*_STATE_COLS)
-        touched_jobs = ready.select("job_id").distinct()
+        # broadcast: the touched-job set is bounded by the politeness-capped
+        # ready batch, far smaller than the bucket states at scale
+        touched_jobs = F.broadcast(ready.select("job_id").distinct())
         job_state = bucket_states.join(touched_jobs, "job_id", "left_semi")
         carry_states = bucket_states.join(touched_jobs, "job_id", "left_anti")
 
@@ -495,17 +512,46 @@ class CrawlEngine:
             "bytes", "wait_iters", *user_cols,
         )
 
-        # one collect for BOTH count families (fetch actions + sched actions)
+        # ONE collect for every per-iteration driver fact: fetch action
+        # counts, sched action counts, the new tasks' bloom-shard ids
+        # (bounded by n_bloom_shards — passed straight to bloom.update so it
+        # needs no distinct job of its own) and job-bucket ids (bounded by
+        # N_JOB_BUCKETS — become next iteration's state-read prune set).
+        from crusty_core_spark.operators import bloom
+
+        new_tasks = chain_out.filter(F.col("row_kind") == "task")
+        zero = F.lit(0).cast("long").alias("n")
         count_rows = (
             fetched.groupBy(F.lit("fetch").alias("fam"), "action")
             .agg(F.count("*").alias("n"))
             .unionByName(self._sched_agg(chain_out))
+            .unionByName(
+                new_tasks.select(
+                    F.lit("shard").alias("fam"),
+                    bloom.shard_id_col(F.col("host"), cfg.n_bloom_shards)
+                    .cast("string")
+                    .alias("action"),
+                ).distinct().select("fam", "action", zero)
+            )
+            .unionByName(
+                new_tasks.select(
+                    F.lit("bucket").alias("fam"),
+                    F.pmod(F.col("job_id"), F.lit(N_JOB_BUCKETS))
+                    .cast("int").cast("string").alias("action"),
+                ).distinct().select("fam", "action", zero)
+            )
             .collect()
         )
         counts = {r["action"]: r["n"] for r in count_rows if r["fam"] == "fetch"}
         self._sched_counts = {
             r["action"]: r["n"] for r in count_rows if r["fam"] == "sched"
         }
+        new_shards = [
+            int(r["action"]) for r in count_rows if r["fam"] == "shard"
+        ]
+        new_buckets = [
+            int(r["action"]) for r in count_rows if r["fam"] == "bucket"
+        ]
         mark("materialize+counts")
         self._commit_chain_out(
             chain_out,
@@ -517,6 +563,7 @@ class CrawlEngine:
             carry_states=carry_states,
             touched_jobs=touched_jobs,
             finish_reason="SoftTimeout" if drain else "Complete",
+            touched_shards=new_shards,
         )
         mark("commit")
         chain_out.unpersist()
@@ -530,7 +577,16 @@ class CrawlEngine:
             - n_ready
             + self._sched_counts.get("accept", 0)
         )
-        self.io.set_state(iter=it, pending=pending)
+        # next iteration's state-read prune set: exactly the new tasks'
+        # buckets (delay=0: the pending queue IS the new tasks); politeness
+        # keeps leftovers pending, so accumulate (monotone, bounded by
+        # N_JOB_BUCKETS)
+        if cfg.delay_ms > 0:
+            new_buckets = sorted(
+                set(self.io.state.get("pending_buckets") or []) | set(new_buckets)
+            )
+        self.io.set_state(iter=it, pending=pending,
+                          pending_buckets=sorted(new_buckets))
         self.io.checkpoint(f"iter-{it:06d}")
         if prof:
             mark("checkpoint")
@@ -598,7 +654,7 @@ class CrawlEngine:
 
     def _commit_chain_out(self, chain_out, it, remaining, fetch_log, counts,
                           wall_ms=0, carry_states=None, touched_jobs=None,
-                          finish_reason="Complete"):
+                          finish_reason="Complete", touched_shards=None):
         """Commit an iteration. Every write is O(this iteration's work):
 
         - ``chain`` append: tasks/sched/lineage log rows (state rows are
@@ -619,10 +675,17 @@ class CrawlEngine:
 
         io = self.io
         tasks_out = chain_out.filter(F.col("row_kind") == "task")
+        # small iterations → few output files: every writer below reads the
+        # persisted chain_out, so coalescing tiny writes costs nothing and
+        # cuts the per-iteration file count (the serial floor) sharply; big
+        # iterations keep full write parallelism
+        n_accepted = getattr(self, "_sched_counts", {}).get("accept", 0) or 0
+        w_parts = max(1, min(32, int(n_accepted) // 20_000 + 1))
 
         def _bloom_update():
             bloom.update(
-                tasks_out.select("job_id", "url", "host"), io, self.cfg
+                tasks_out.select("job_id", "url", "host"), io, self.cfg,
+                touched_ids=touched_shards, n_accepted=n_accepted,
             )
 
         def _job_state_write():
@@ -638,6 +701,7 @@ class CrawlEngine:
                     F.pmod(F.col("job_id"), F.lit(N_JOB_BUCKETS)).cast("int"),
                 ),
                 "_bucket",
+                n_files=w_parts,
             )
 
         def _url_seen_write():
@@ -652,6 +716,7 @@ class CrawlEngine:
                     ).alias("shard"),
                 ),
                 "shard",
+                n_files=w_parts,
             )
 
         if self.cfg.delay_ms > 0:
@@ -691,7 +756,7 @@ class CrawlEngine:
                 "chain",
                 chain_out.filter(F.col("row_kind") != "state").withColumn(
                     "iter", F.lit(it).cast("long")
-                ),
+                ).coalesce(w_parts),
             ),
             _job_state_write,
             _url_seen_write,
@@ -699,19 +764,37 @@ class CrawlEngine:
         ]
         if tasks is not None:
             writers.append(
-                lambda: io.overwrite("frontier_pending", tasks)
+                lambda: io.overwrite("frontier_pending", tasks.coalesce(w_parts))
             )
         if self.cfg.use_bloom:
             writers.append(_bloom_update)
         if fetch_log is not None:
-            writers.append(lambda: io.append("fetch_log", fetch_log))
+            writers.append(
+                lambda: io.append("fetch_log", fetch_log.coalesce(w_parts))
+            )
         from concurrent.futures import ThreadPoolExecutor
+
+        import os as _os
+
+        prof = _os.environ.get("SPARK_CRAWL_PROFILE", "0") != "0"
+
+        def timed(w):
+            if not prof:
+                return w
+            name = getattr(w, "__name__", "chain/fetch/frontier")
+
+            def run():
+                t = time.time()
+                w()
+                print(f"[commit] {name}: {time.time() - t:.2f}", flush=True)
+
+            return run
 
         # independent tables → independent Spark jobs, issued concurrently
         # (all read from the persisted chain_out; TableIO serializes manifest
         # commits)
         with ThreadPoolExecutor(max_workers=len(writers)) as ex:
-            futures = [ex.submit(w) for w in writers]
+            futures = [ex.submit(timed(w)) for w in writers]
             for f in futures:
                 f.result()  # propagate the first failure
 

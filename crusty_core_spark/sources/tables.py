@@ -170,26 +170,60 @@ class TableIO:
     # duplicated into `_pc` for the directory layout), so reads never depend
     # on directory-name parsing.
 
-    def _write_part_dir(self, name: str, df: DataFrame, part_col: str):
-        """Write df partitioned by part_col; returns (data_dir, {value: relpath})."""
+    def _write_part_dir(self, name: str, df: DataFrame, part_col: str,
+                        n_files: int | None = None):
+        """Write df partitioned by part_col; returns (data_dir, {value: relpath}).
+
+        Default: repartition by the partition column (one file per touched
+        value — the big-data layout). ``n_files``: coalesce to that many
+        write tasks instead, skipping the shuffle — the low-latency path for
+        small commits (each task writes every subdir it sees; a partition
+        subdir may then hold up to n_files files, which reads fine)."""
         from pyspark.sql import functions as F
         with self._lock:
             t = self._tbl(name)
             d = f"data-{t['next_dir']:06d}"
             t["next_dir"] += 1
         path = os.path.join(self.root, name, d)
-        (
-            df.withColumn("_pc", F.col(part_col))
-            .repartition(F.col("_pc"))  # one file per touched partition
-            .write.mode("overwrite")
-            .partitionBy("_pc")
-            .parquet(path)
+        out = df.withColumn("_pc", F.col(part_col))
+        out = (
+            out.coalesce(n_files) if n_files else out.repartition(F.col("_pc"))
         )
+        out.write.mode("overwrite").partitionBy("_pc").parquet(path)
         written = {}
         for sub in os.listdir(path):
             if sub.startswith("_pc="):
                 written[sub[len("_pc="):]] = f"{d}/{sub}"
         return d, written
+
+    def overwrite_partitions_local(
+        self, name: str, rows_by_value: dict, arrow_schema, spark_schema: T.StructType
+    ) -> int:
+        """Driver-side partition overwrite: writes each touched partition's
+        rows directly with pyarrow (no Spark job, no LocalRelation transfer —
+        the low-latency path for small driver-resident states like Bloom
+        shard bitsets). ``rows_by_value``: {partition_value: list[dict]}."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        with self._lock:
+            t = self._tbl(name)
+            d = f"data-{t['next_dir']:06d}"
+            t["next_dir"] += 1
+        written = {}
+        for v, rows in rows_by_value.items():
+            sub = os.path.join(self.root, name, d, f"_pc={v}")
+            os.makedirs(sub, exist_ok=True)
+            pq.write_table(
+                pa.Table.from_pylist(rows, schema=arrow_schema),
+                os.path.join(sub, "part-00000.parquet"),
+            )
+            written[str(v)] = f"{d}/_pc={v}"
+        with self._lock:
+            parts = dict(self._parts(name))
+            for v, rel in written.items():
+                parts[v] = [rel]
+            return self._commit_parts(name, parts, spark_schema)
 
     def _parts(self, name: str) -> dict:
         t = self._tbl(name)
@@ -200,19 +234,21 @@ class TableIO:
             raise TypeError(f"table {name!r} is not partitioned")
         return snap
 
-    def overwrite_partitions(self, name: str, df: DataFrame, part_col: str) -> int:
+    def overwrite_partitions(self, name: str, df: DataFrame, part_col: str,
+                             n_files: int | None = None) -> int:
         """Overwrite ONLY the partitions present in df; every other
         partition keeps its current dir list. O(touched partitions)."""
-        _, written = self._write_part_dir(name, df, part_col)
+        _, written = self._write_part_dir(name, df, part_col, n_files)
         with self._lock:
             parts = dict(self._parts(name))
             for v, rel in written.items():
                 parts[v] = [rel]
             return self._commit_parts(name, parts, df.schema)
 
-    def append_partitions(self, name: str, df: DataFrame, part_col: str) -> int:
+    def append_partitions(self, name: str, df: DataFrame, part_col: str,
+                          n_files: int | None = None) -> int:
         """Append df's rows, extending each touched partition's dir list."""
-        _, written = self._write_part_dir(name, df, part_col)
+        _, written = self._write_part_dir(name, df, part_col, n_files)
         with self._lock:
             parts = {k: list(v) for k, v in self._parts(name).items()}
             for v, rel in written.items():
