@@ -306,30 +306,50 @@ def dedup_flag(
     Bloom-positive rows probe ONLY their shards' partitions of the
     ``url_seen`` table (manifest-pruned scan — per-iteration read volume is
     O(touched-shard history), recorded in ``stats`` when passed, instead of
-    the full crawl history)."""
+    the full crawl history). Adaptive: while the whole url_seen table is
+    small (driver checks file sizes — no Spark job), the positive-shard
+    collect barrier costs more than the scan it would save, so the backstop
+    joins the full table directly; past the threshold it prunes."""
     probed = probe(cands, io, cfg, host_col, keep_shard=True)
-    pos_shards = [
-        r[0]
-        for r in probed.filter(F.col("maybe_seen"))
-        .select("_shard").distinct().collect()
-    ]
-    if stats is not None:
-        paths = (
-            io.partition_paths(URL_SEEN_TABLE, pos_shards)
-            if io.exists(URL_SEEN_TABLE)
-            else []
+    if not io.exists(URL_SEEN_TABLE):
+        if stats is not None:
+            stats["dedup_shards_read"] = 0
+            stats["dedup_read_bytes"] = 0
+        return probed.withColumn("seen_global", F.lit(False)).drop(
+            "maybe_seen", "_shard"
         )
-        stats["dedup_shards_read"] = len(pos_shards)
-        stats["dedup_read_bytes"] = sum(
+
+    def _bytes(paths):
+        return sum(
             os.path.getsize(os.path.join(d, f))
             for d in paths
             for f in os.listdir(d)
             if f.endswith(".parquet")
         )
-    if not pos_shards or not io.exists(URL_SEEN_TABLE):
-        return probed.withColumn("seen_global", F.lit(False)).drop(
-            "maybe_seen", "_shard"
+
+    total_bytes = _bytes(io.partition_paths(URL_SEEN_TABLE))
+    if total_bytes <= 128 * 1024 * 1024:
+        pos_shards = None  # small table: skip the collect barrier
+        read_bytes = total_bytes
+    else:
+        pos_shards = [
+            r[0]
+            for r in probed.filter(F.col("maybe_seen"))
+            .select("_shard").distinct().collect()
+        ]
+        read_bytes = _bytes(io.partition_paths(URL_SEEN_TABLE, pos_shards))
+        if not pos_shards:
+            if stats is not None:
+                stats["dedup_shards_read"] = 0
+                stats["dedup_read_bytes"] = 0
+            return probed.withColumn("seen_global", F.lit(False)).drop(
+                "maybe_seen", "_shard"
+            )
+    if stats is not None:
+        stats["dedup_shards_read"] = (
+            len(pos_shards) if pos_shards is not None else cfg.n_bloom_shards
         )
+        stats["dedup_read_bytes"] = read_bytes
     seen = io.read_partitions(URL_SEEN_TABLE, pos_shards).select(
         "job_id", "url", F.lit(True).alias("_hit")
     )

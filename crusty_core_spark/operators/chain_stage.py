@@ -199,8 +199,13 @@ def make_chain_fn(cfg, custom_filters: tuple = (), drain: bool = False):
             ns = st.to_row()
             ns["resp_counter"] = resp_counter
             ns["seq_counter"] = seq_counter
+            # action tags whether this job had chain input this iteration:
+            # untouched jobs in a touched bucket pass through unmodified
+            # (their partition is rewritten anyway) and the tag lets the
+            # engine derive job-completion records from the cached output
+            ns["action"] = "touched" if rows else "untouched"
             state_rows.append(tuple(job_id if c == "job_id" else ns[c]
-                                    for c in _STATE_COLS))
+                                    for c in _STATE_COLS + ["action"]))
 
         # counts-only mode: one row per (bucket, action) instead of one per
         # candidate; count travels in parent_seq_num
@@ -217,7 +222,7 @@ def make_chain_fn(cfg, custom_filters: tuple = (), drain: bool = False):
             ("sched_count", count_rows, _SCHED_COLS),
             ("task", task_rows, _TASK_COLS),
             ("lineage", lineage_rows, _LINEAGE_COLS),
-            ("state", state_rows, _STATE_COLS),
+            ("state", state_rows, _STATE_COLS + ["action"]),
         ):
             if not rows:
                 continue

@@ -163,9 +163,7 @@ class CrawlEngine:
             r["action"]: r["n"] for r in self._sched_agg(chain_out).collect()
         }
         self._commit_chain_out(chain_out, it=0, remaining=None, fetch_log=None,
-                               counts={}, carry_states=None,
-                               touched_jobs=job_state.select("job_id"),
-                               finish_reason="RootRejected")
+                               counts={}, finish_reason="RootRejected")
         # collect while chain_out is still cached: a recompute would let
         # Catalyst prune the cogroup input columns out from under bucket_fn
         seeded_buckets = [
@@ -268,14 +266,15 @@ class CrawlEngine:
                     F.pmod(F.col("job_id"), F.lit(N_JOB_BUCKETS)).cast("int")
                 ).distinct().collect()
             ]
-        bucket_states = self.io.read_partitions(
+        # Every state row in a touched bucket rides through the chain stage:
+        # untouched jobs pass through the Python fold unmodified (their
+        # bucket's partition file is rewritten regardless, and an Arrow
+        # passthrough is cheaper than the broadcast-anti-join + re-scan it
+        # replaces) and come back tagged action="untouched", so the commit
+        # writes job_state straight from the cached chain output.
+        job_state = self.io.read_partitions(
             "job_state", touched_buckets
         ).select(*_STATE_COLS)
-        # broadcast: the touched-job set is bounded by the politeness-capped
-        # ready batch, far smaller than the bucket states at scale
-        touched_jobs = F.broadcast(ready.select("job_id").distinct())
-        job_state = bucket_states.join(touched_jobs, "job_id", "left_semi")
-        carry_states = bucket_states.join(touched_jobs, "job_id", "left_anti")
 
         # --- resolve (broadcast hosts join + IP blacklist;
         #     task_processor.rs:117-126) then fetch = equi-join vs pages
@@ -560,8 +559,6 @@ class CrawlEngine:
             fetch_log=fetch_log,
             counts=counts,
             wall_ms=int((time.time() - t0) * 1000),
-            carry_states=carry_states,
-            touched_jobs=touched_jobs,
             finish_reason="SoftTimeout" if drain else "Complete",
             touched_shards=new_shards,
         )
@@ -653,8 +650,8 @@ class CrawlEngine:
     # ---------------------------------------------------------------- commit
 
     def _commit_chain_out(self, chain_out, it, remaining, fetch_log, counts,
-                          wall_ms=0, carry_states=None, touched_jobs=None,
-                          finish_reason="Complete", touched_shards=None):
+                          wall_ms=0, finish_reason="Complete",
+                          touched_shards=None):
         """Commit an iteration. Every write is O(this iteration's work):
 
         - ``chain`` append: tasks/sched/lineage log rows (state rows are
@@ -692,8 +689,6 @@ class CrawlEngine:
             states = chain_out.filter(F.col("row_kind") == "state").select(
                 *_STATE_COLS
             )
-            if carry_states is not None:
-                states = states.unionByName(carry_states)
             io.overwrite_partitions(
                 "job_state",
                 states.withColumn(
@@ -729,26 +724,26 @@ class CrawlEngine:
 
         def _job_log_write():
             # per-job Finished record (task_scheduler.rs:158-167): a job
-            # touched this iteration with an empty frontier afterwards is done
-            if touched_jobs is None:
-                return
+            # touched this iteration with an empty frontier afterwards is
+            # done. Both join sides come from the cached chain output (the
+            # state rows carry the touched tag), so this is a cheap job.
             next_pending = tasks if tasks is not None else tasks_out
-            finished = touched_jobs.join(
+            touched = chain_out.filter(
+                (F.col("row_kind") == "state") & (F.col("action") == "touched")
+            ).select("job_id", "budget_used", "resp_counter", "seq_counter")
+            finished = touched.join(
                 next_pending.select("job_id").distinct(), "job_id", "left_anti"
-            )
-            states = chain_out.filter(F.col("row_kind") == "state").select(
-                "job_id", "budget_used", "resp_counter", "seq_counter"
             )
             io.append(
                 "job_log",
-                finished.join(states, "job_id", "left").select(
+                finished.select(
                     "job_id",
                     F.lit(it).cast("long").alias("iter"),
                     F.lit(finish_reason).alias("reason"),
                     "budget_used",
                     "resp_counter",
                     "seq_counter",
-                ),
+                ).coalesce(1),
             )
 
         writers = [
