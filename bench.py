@@ -90,15 +90,35 @@ def bench_crawl(spark, n_hosts, pages_per_host, max_iters):
     gen_s = time.time() - t0
 
     seeds = [(j, f"http://{host_name(spec, j)}/") for j in range(n_hosts)]
+
+    # point-fetch client for the driver-local thin-iteration path — the
+    # "network": O(ready) lookups against the corpus, the same cost shape
+    # as the reference's HTTP fetch (fat iterations use the distributed
+    # pages join regardless)
+    import pyarrow.parquet as pq
+
+    corpus = pq.read_table(
+        pages_path,
+        columns=["url", "html", "status", "location", "content_type",
+                 "content_encoding"],
+    ).to_pandas()
+    url_index = {u: i for i, u in enumerate(corpus["url"].tolist())}
+
+    def fetcher(urls):
+        rows = [url_index[u] for u in urls if u in url_index]
+        return corpus.iloc[rows]
+
     # warm run (JIT/codegen warmup) on a 200-host slice, untimed
     warm = CrawlEngine(
-        spark, pages, os.path.join(tmp, "wd_warm"), CrawlConfig()
+        spark, pages, os.path.join(tmp, "wd_warm"), CrawlConfig(),
+        fetcher=fetcher,
     )
     warm.seed(seeds[:200])
     warm.run(max_iterations=3)
 
     eng = CrawlEngine(spark, pages, os.path.join(tmp, "wd"),
-                  CrawlConfig(fetch_log_detail=False, sched_log_detail=False))
+                  CrawlConfig(fetch_log_detail=False, sched_log_detail=False),
+                  fetcher=fetcher)
     t0 = time.time()
     eng.seed(seeds)
     stats = eng.run(max_iterations=max_iters)

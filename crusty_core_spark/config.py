@@ -49,6 +49,13 @@ class CrawlConfig:
     #: include title/n_links on fetch_log rows (costs two joins per
     #: iteration); crawl ordering/actions are complete either way
     fetch_log_detail: bool = True
+    #: thin-iteration fast path: when the pending frontier is at or under
+    #: this many rows, the iteration runs driver-local (same kernels — chain
+    #: bucket fold, extract/expand, canonicalize, xxhash64 Bloom — one small
+    #: Spark job for the pages fetch-join, pyarrow table commits). Tail/thin
+    #: iterations otherwise pay multi-stage Spark job latency for hundreds of
+    #: rows — the same pathology a 1000-executor cluster has. 0/None disables.
+    local_iter_threshold: int | None = 3000
     #: per-candidate scheduling-decision rows in the chain log. True →
     #: full audit trail (one row per candidate per filter decision); False →
     #: per-bucket action counters only (the 5-10× larger candidate stream

@@ -188,6 +188,48 @@ def probe(
     )
 
 
+def merge_pairs_local(io: TableIO, cfg, pairs) -> None:
+    """Driver-side shard merge: OR ``pairs`` of (shard_id, bit positions)
+    into their shards' bitsets and commit ONLY the touched partitions with
+    pyarrow (no Spark job). Shared by update()'s small-batch path and the
+    engine's driver-local iteration fast path (which computes the positions
+    with the pure-python xxhash64 twin, functions/xxh64.py)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    if not pairs:
+        return
+    n_bits = cfg.bloom_bits_per_shard
+    blobs = _load_blobs(io) if io.exists(SHARDS_TABLE) else {}
+    merged: dict[int, tuple[np.ndarray, int]] = {}
+    for sid, pos in pairs:
+        sid = int(sid)
+        if sid not in merged:
+            old = blobs.get(sid)
+            merged[sid] = (
+                old[0].copy() if old is not None
+                else np.zeros(n_bits // 8, dtype=np.uint8),
+                old[1] if old is not None else 0,
+            )
+        bits, n = merged[sid]
+        p = np.asarray(pos, dtype=np.int64)
+        np.bitwise_or.at(bits, p >> 3, (1 << (p & 7)).astype(np.uint8))
+        merged[sid] = (bits, n + 1)
+    arrow_schema = pa.schema(
+        [("shard_id", pa.int32()), ("bitset", pa.binary()),
+         ("n_items", pa.int64())]
+    )
+    io.overwrite_partitions_local(
+        SHARDS_TABLE,
+        {
+            sid: [{"shard_id": sid, "bitset": bits.tobytes(), "n_items": n}]
+            for sid, (bits, n) in sorted(merged.items())
+        },
+        arrow_schema,
+        T.StructType.fromDDL(SHARD_SCHEMA),
+    )
+
+
 def update(
     accepted: DataFrame,
     io: TableIO,
@@ -228,37 +270,9 @@ def update(
         and n_accepted <= 50_000
         and total_bytes <= 64 * 1024 * 1024
     ):
-        import pyarrow as pa
-        from pyspark.sql import types as T
-
         rows = upd.collect()
-        blobs = _load_blobs(io) if io.exists(SHARDS_TABLE) else {}
-        merged: dict[int, tuple[np.ndarray, int]] = {}
-        for r in rows:
-            sid = int(r["shard_id"])
-            if sid not in merged:
-                old = blobs.get(sid)
-                merged[sid] = (
-                    old[0].copy() if old is not None
-                    else np.zeros(n_bits // 8, dtype=np.uint8),
-                    old[1] if old is not None else 0,
-                )
-            bits, n = merged[sid]
-            p = np.asarray(r["_pos"], dtype=np.int64)
-            np.bitwise_or.at(bits, p >> 3, (1 << (p & 7)).astype(np.uint8))
-            merged[sid] = (bits, n + 1)
-        arrow_schema = pa.schema(
-            [("shard_id", pa.int32()), ("bitset", pa.binary()),
-             ("n_items", pa.int64())]
-        )
-        io.overwrite_partitions_local(
-            SHARDS_TABLE,
-            {
-                sid: [{"shard_id": sid, "bitset": bits.tobytes(), "n_items": n}]
-                for sid, (bits, n) in sorted(merged.items())
-            },
-            arrow_schema,
-            T.StructType.fromDDL(SHARD_SCHEMA),
+        merge_pairs_local(
+            io, cfg, [(int(r["shard_id"]), r["_pos"]) for r in rows]
         )
         return
 
@@ -310,14 +324,11 @@ def dedup_flag(
     small (driver checks file sizes — no Spark job), the positive-shard
     collect barrier costs more than the scan it would save, so the backstop
     joins the full table directly; past the threshold it prunes."""
-    probed = probe(cands, io, cfg, host_col, keep_shard=True)
     if not io.exists(URL_SEEN_TABLE):
         if stats is not None:
             stats["dedup_shards_read"] = 0
             stats["dedup_read_bytes"] = 0
-        return probed.withColumn("seen_global", F.lit(False)).drop(
-            "maybe_seen", "_shard"
-        )
+        return cands.withColumn("seen_global", F.lit(False))
 
     def _bytes(paths):
         return sum(
@@ -328,6 +339,25 @@ def dedup_flag(
         )
 
     total_bytes = _bytes(io.partition_paths(URL_SEEN_TABLE))
+    if total_bytes <= 16 * 1024 * 1024:
+        # tiny seen set: the exact table broadcast-joins cheaper than ANY
+        # Bloom probe would (one JVM-side join stage, no Python crossing,
+        # no neg/pos branch recompute); the Bloom shards keep getting
+        # updated so the probe path takes over seamlessly once the table
+        # outgrows this
+        if stats is not None:
+            stats["dedup_shards_read"] = cfg.n_bloom_shards
+            stats["dedup_read_bytes"] = total_bytes
+        seen = io.read_partitions(URL_SEEN_TABLE).select(
+            "job_id", "url", F.lit(True).alias("_hit")
+        )
+        return (
+            cands.join(F.broadcast(seen), on=["job_id", "url"], how="left")
+            .withColumn("seen_global", F.coalesce(F.col("_hit"), F.lit(False)))
+            .drop("_hit")
+        )
+
+    probed = probe(cands, io, cfg, host_col, keep_shard=True)
     if total_bytes <= 128 * 1024 * 1024:
         pos_shards = None  # small table: skip the collect barrier
         read_bytes = total_bytes

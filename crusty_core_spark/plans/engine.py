@@ -31,6 +31,13 @@ Scale notes (the 100 TB design intent — verified locally at small SF):
   jobs' states through Python (semi-join), and carries untouched jobs in
   touched buckets with a JVM anti-join. Bloom shard commits are likewise
   partition-level. Per-iteration write volume is O(this iteration's work).
+- HYBRID dispatch: a THIN frontier (≤ cfg.local_iter_threshold pending
+  rows) runs the whole iteration driver-local (plans/local_step.py) using
+  the same kernel functions and the same table commits via pyarrow — thin
+  head/tail iterations are job-launch-overhead-bound on any cluster size,
+  so a scale-out engine needs a local mode for them just like AQE collapses
+  tiny shuffles to LocalTableScan. Parity across paths is pinned by
+  tests/test_fastpath.py.
 """
 
 from __future__ import annotations
@@ -70,6 +77,7 @@ class CrawlEngine:
         user_extract_schema: str | None = None,
         custom_status_filters: tuple = (),
         custom_load_filters: tuple = (),
+        fetcher=None,
     ):
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
@@ -99,6 +107,15 @@ class CrawlEngine:
         #: registration order (crawler.rs:108-143)
         self.custom_status_filters = tuple(custom_status_filters)
         self.custom_load_filters = tuple(custom_load_filters)
+        #: optional point-fetch client — the analogue of the reference's
+        #: HTTP client (main/src/hyper_utils.rs): ``fetcher(urls: list[str])
+        #: -> pandas.DataFrame`` with columns (url, html, status, location,
+        #: content_type, content_encoding); urls absent from the result are
+        #: fetch failures (HttpError). The driver-local thin-iteration path
+        #: uses it for O(ready) lookups instead of an O(corpus) join scan —
+        #: exactly how the reference's network fetch costs O(ready). The
+        #: distributed path always uses the pages join (the batch analogue).
+        self.fetcher = fetcher
         self.io = TableIO(spark, workdir)
 
     # ------------------------------------------------------------------ seed
@@ -201,8 +218,19 @@ class CrawlEngine:
     # ------------------------------------------------------------------ step
 
     def step(self) -> dict:
-        """Run one crawl iteration; returns counters for the metrics table."""
+        """Run one crawl iteration; returns counters for the metrics table.
+
+        Dispatch: a thin frontier (≤ cfg.local_iter_threshold pending rows,
+        tracked arithmetically — no Spark job to decide) runs driver-local
+        via plans/local_step.py with identical semantics and the same table
+        commits; fat iterations run the distributed plan below."""
         import os
+
+        thr = self.cfg.local_iter_threshold
+        if thr and 0 < int(self.io.state.get("pending", 0)) <= int(thr):
+            from crusty_core_spark.plans.local_step import step_local
+
+            return step_local(self, int(self.io.state["iter"]) + 1)
 
         prof = os.environ.get("SPARK_CRAWL_PROFILE", "0") != "0"
         deep = os.environ.get("SPARK_CRAWL_PROFILE") == "2"
@@ -833,12 +861,18 @@ class CrawlEngine:
         iteration (one data dir); politeness mode: the explicit compact
         frontier_pending table."""
         if self.cfg.delay_ms > 0:
-            return self.io.read("frontier_pending")
-        last = self.io.read_last_append("chain")
-        return self._tasks_slice(
-            last.filter(F.col("row_kind") == "task"),
-            it - 1,
-        )
+            pending = self.io.read("frontier_pending")
+        else:
+            last = self.io.read_last_append("chain")
+            pending = self._tasks_slice(
+                last.filter(F.col("row_kind") == "task"),
+                it - 1,
+            )
+        # a driver-local iteration commits ONE file — without a respread the
+        # whole distributed plan downstream (fetch join, extract, chain)
+        # would inherit a single input partition
+        n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        return pending.repartition(n)
 
     def _job_state_df(self) -> DataFrame:
         """All jobs' current states (the partitioned job_state table —

@@ -1,0 +1,663 @@
+"""Driver-local crawl iteration — the thin-frontier fast path.
+
+A crawl's head and tail iterations are a few hundred URLs. Running them
+through the full distributed plan costs multi-stage Spark job latency
+(politeness window, fetch join, Arrow extract, cogroup chain, N table
+writes) — seconds of fixed overhead for milliseconds of work. The same
+pathology exists on a 1000-executor cluster: thin micro-batches are
+launch-overhead-bound, so a scale-out engine wants a local execution mode
+for them (the Spark analogue of AQE's LocalTableScan collapse).
+
+``step_local`` runs ONE iteration entirely on the driver when the pending
+frontier is at or under ``cfg.local_iter_threshold`` rows, with *identical
+semantics* to ``CrawlEngine.step``, by reusing the SAME kernel functions the
+distributed plan runs inside its Arrow stages:
+
+- politeness ready-selection: pandas stable sort + cumcount == the window
+  rank (plans/engine.py step);
+- resolve + fetch: ONE small Spark job — ``resolve_ready`` (the same
+  operator) + broadcast join against the pages table, collected;
+- status/load classification: a pure-python mirror of the engine's bulk
+  masks (the simulator pins both via the parity suite);
+- parse/expand/canonicalize: ``functions.extract._extract_batches`` — the
+  exact generator the distributed ``mapInPandas`` runs;
+- Bloom dedup: ``functions.xxh64`` (bit-exact python twin of F.xxhash64)
+  against the same shard bitsets, exact backstop via pruned pyarrow reads
+  of the ``url_seen`` partitions;
+- filter chain: ``operators.chain_stage.make_chain_fn`` — the exact
+  cogroup function, called per job bucket;
+- commits: pyarrow writes through the same TableIO manifest (same dirs,
+  same schemas) — Spark and local iterations interleave freely, and
+  resume/checkpoint behave identically.
+
+Parity between this path, the distributed path, and the reference simulator
+is pinned by tests/test_fastpath.py and the parametrized parity suite.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from urllib.parse import urlsplit
+
+import pandas as pd
+
+from crusty_core_spark.functions.canonicalize import canonicalize_url
+from crusty_core_spark.functions.extract import _extract_batches, decode_body
+from crusty_core_spark.functions.xxh64 import bloom_positions, bloom_shard_id
+from crusty_core_spark.operators import bloom
+from crusty_core_spark.operators.chain import FOLLOW_TARGETS
+from crusty_core_spark.operators.chain_stage import (
+    N_JOB_BUCKETS,
+    _STATE_COLS,
+    make_chain_fn,
+)
+from crusty_core_spark.plans import schemas as S
+
+_FRONTIER_COLS = [c.strip().split(" ")[0] for c in S.FRONTIER.split(",")]
+_CHAIN_IN_COLS = [c.strip().split(" ")[0] for c in S.CHAIN_IN.split(",")]
+_TASK_SLICE = ["job_id", "task_seq", "url", "host", "depth", "redirect",
+               "target", "marker", "rel", "alt", "text", "parent_url",
+               "parent_seq", "link_pos", "priority"]
+
+
+def _url_host(u: str | None) -> str | None:
+    """Python twin of functions.canonicalize.url_host for canonical URLs."""
+    if u is None:
+        return None
+    try:
+        return urlsplit(u).hostname or ""
+    except ValueError:
+        return ""
+
+
+def _classify(row, cfg, custom_status, custom_load):
+    """Mirror of the engine's status/load bulk masks + custom filter pass
+    (plans/engine.py step + _apply_custom_fetch_filters). Returns
+    (action, canon_location)."""
+    status = row["status"]
+    canon_loc = None
+    if row["resolve_failed"]:
+        action = "error:ResolveError"
+    elif row["target"] == "JustResolveDNS":
+        action = "resolved"
+    elif status is None:
+        action = "error:HttpError"
+    else:
+        status = int(status)
+        is_redirect = 300 <= status <= 399
+        ct = row["content_type"]
+        ct_ok = ct is not None and any(
+            a in ct for a in cfg.accepted_content_types
+        )
+        if is_redirect:
+            canon_loc = canonicalize_url(row["location"], base=row["url"])
+        if is_redirect and int(row["redirect"]) >= cfg.max_redirect:
+            action = "term:MaxRedirect"
+        elif is_redirect and canon_loc is None:
+            action = "error:BadLocation"
+        elif is_redirect:
+            action = "term:Redirect"
+        elif not ct_ok:
+            action = "term:ContentType"
+        elif row["target"] == "Head":
+            action = "head"
+        elif row["html"] is not None and len(row["html"]) > cfg.max_response_size:
+            action = "error:HttpTooBigResponse"
+        else:
+            action = "processed"
+    if custom_status and action in ("processed", "head",
+                                    "error:HttpTooBigResponse"):
+        for f in custom_status:
+            try:
+                v = f(row["status"], row["content_type"], row["url"],
+                      row["depth"])
+            except Exception:
+                continue
+            if isinstance(v, str) and v != "accept":
+                action = v
+                break
+    if custom_load and action == "processed" and int(row["marker"]) != 1:
+        body = decode_body(
+            bytes(row["html"]) if row["html"] is not None else b"",
+            row["content_encoding"],
+        )
+        for f in custom_load:
+            try:
+                v = f(row["status"], row["content_type"], body, row["url"],
+                      row["depth"])
+            except Exception:
+                continue
+            if isinstance(v, str) and v != "accept":
+                action = v
+                break
+    return action, canon_loc
+
+
+def _seen_sets(io, shards: list[int]) -> dict[int, set]:
+    """Per-shard (job_id, url) membership sets for the selected url_seen
+    shards — a candidate can only live in its host's shard, so membership
+    tests stay per-shard (no O(history) union per iteration).
+
+    Incremental cache: url_seen partitions only ever APPEND new immutable
+    files, so a shard whose cached rel-list is a prefix of the current one
+    loads only the new files' pairs — O(new rows) per iteration regardless
+    of history length."""
+    cache = getattr(io, "_local_seen_sets", None)
+    if cache is None:
+        cache = io._local_seen_sets = {}
+    parts = io._parts(bloom.URL_SEEN_TABLE)
+    out: dict[int, set] = {}
+    for sid in shards:
+        key = str(sid)
+        rels = tuple(parts.get(key, ()))
+        cached_rels, cached_set = cache.get(key, ((), set()))
+        if rels[: len(cached_rels)] != cached_rels:
+            cached_rels, cached_set = (), set()  # rewritten (compaction)
+        new_rels = rels[len(cached_rels):]
+        if new_rels:
+            pdf = io._read_paths_local(
+                [os.path.join(io.root, bloom.URL_SEEN_TABLE, r)
+                 for r in new_rels],
+                columns=["job_id", "url"],
+            )
+            if pdf is not None:
+                cached_set.update(
+                    zip(pdf["job_id"].tolist(), pdf["url"].tolist())
+                )
+            cache[key] = (rels, cached_set)
+        out[sid] = cached_set
+    return out
+
+
+def _none(v):
+    """NaN/pd.NA → None scalar."""
+    if v is None:
+        return None
+    try:
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass
+    return v
+
+
+def step_local(engine, it: int) -> dict:
+    """One crawl iteration on the driver; same contract as CrawlEngine.step."""
+    t0 = time.time()
+    cfg = engine.cfg
+    io = engine.io
+    spark = engine.spark
+    prof = os.environ.get("SPARK_CRAWL_PROFILE", "0") != "0"
+    drain = cfg.soft_timeout_iters is not None and it > cfg.soft_timeout_iters
+
+    # --- pending (pandas, pyarrow read of the compact queue)
+    if cfg.delay_ms > 0:
+        pending = io.read_local("frontier_pending")
+    else:
+        last = io.read_last_append_local("chain")
+        tasks = last[last["row_kind"] == "task"]
+        pending = tasks[_TASK_SLICE].copy()
+        pending["next_fetch_iter"] = int(it)
+        pending["added_iter"] = int(it - 1)
+
+    # --- politeness ready-selection (mirror of the window rank)
+    if cfg.delay_ms > 0 and len(pending):
+        per_host = max(1, cfg.concurrency_per_host)
+        due = pending[pending["next_fetch_iter"] <= it]
+        not_due = pending[pending["next_fetch_iter"] > it]
+        due = due.sort_values(["priority", "task_seq"], kind="mergesort")
+        rn = due.groupby(["job_id", "host"], sort=False).cumcount()
+        ready = due[rn < per_host]
+        remaining = pd.concat([not_due, due[rn >= per_host]],
+                              ignore_index=True)
+    else:
+        ready = pending
+        remaining = None
+
+    # --- touched job buckets → states (pyarrow partition-pruned read)
+    touched_buckets = io.state.get("pending_buckets")
+    if touched_buckets is None:
+        touched_buckets = sorted(
+            {int(j) % N_JOB_BUCKETS for j in ready["job_id"].tolist()}
+        )
+    states = io.read_partitions_local("job_state", touched_buckets)
+
+    # --- resolve + fetch: the ONE Spark job of a local iteration (the pages
+    #     table is the scale-out side; the thin ready set broadcasts)
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from crusty_core_spark.operators.resolve import resolve_ready
+
+    fetch_cols = _FRONTIER_COLS + [
+        "resolve_failed", "html", "status", "location", "content_type",
+        "content_encoding",
+    ]
+    if engine.fetcher is not None and engine.hosts is None:
+        # point-fetch client: O(ready) lookups, zero Spark jobs (the
+        # reference's HTTP fetch is exactly this shape)
+        pages_pd = engine.fetcher(ready["url"].tolist())
+        fetched = ready.merge(pages_pd, on="url", how="left")
+        fetched["resolve_failed"] = False
+        for c in ("html", "status", "location", "content_type",
+                  "content_encoding"):
+            if c not in fetched.columns:
+                fetched[c] = None
+        fetched = fetched[fetch_cols]
+    else:
+        ready_sdf = spark.createDataFrame(
+            ready[_FRONTIER_COLS], schema=T.StructType.fromDDL(S.FRONTIER)
+        )
+        fetched = (
+            resolve_ready(F.broadcast(ready_sdf), engine.hosts)
+            .join(engine.pages, on="url", how="left")
+            .select(*fetch_cols)
+            .toPandas()
+        )
+    marks = [("fetch", time.time())] if prof else None
+
+    def mark(label):
+        if prof:
+            marks.append((label, time.time()))
+
+    # --- classify (status filters + size cap + custom status/load filters)
+    recs = fetched.to_dict("records")
+    for r in recs:
+        for k in ("status", "content_type", "content_encoding", "location",
+                  "html", "rel", "alt", "text"):
+            r[k] = _none(r[k])
+        # a left-join null status arrives as NaN → keep ints exact
+        if r["status"] is not None:
+            r["status"] = int(r["status"])
+        if r["html"] is not None and not isinstance(r["html"], bytes):
+            r["html"] = bytes(r["html"])
+        r["action"], r["canon_location"] = _classify(
+            r, cfg, engine.custom_status_filters, engine.custom_load_filters
+        )
+    mark("classify")
+
+    # --- parse + expand + canonicalize (the exact mapInPandas generator)
+    user_cols = []
+    if engine.user_extract_schema:
+        user_cols = [
+            f.name
+            for f in T.StructType.fromDDL(engine.user_extract_schema).fields
+        ]
+    to_parse = [
+        r for r in recs
+        if r["action"] == "processed" and r["target"] in FOLLOW_TARGETS
+    ]
+    if drain:
+        to_parse = []
+    if to_parse:
+        parse_pdf = pd.DataFrame(
+            [
+                {
+                    "job_id": r["job_id"],
+                    "task_seq": r["task_seq"],
+                    "url": r["url"],
+                    "depth": r["depth"],
+                    "html": r["html"],
+                    "content_encoding": r["content_encoding"],
+                }
+                for r in to_parse
+            ]
+        )
+        parsed = next(
+            _extract_batches(
+                iter([parse_pdf]), "html", "content_encoding", "url",
+                engine.expanders, engine.user_extract, user_cols,
+            )
+        )
+    else:
+        parsed = pd.DataFrame(
+            columns=["job_id", "task_seq", "url", "depth", "title", "text",
+                     "links_canon", *user_cols]
+        )
+    mark("extract")
+
+    # --- candidates: parsed links ∪ redirect re-emits (mirror of the
+    #     parsed_links / redirect_cands selects)
+    cand_rows: list[dict] = []
+    for r in parsed.itertuples(index=False):
+        for link in r.links_canon:
+            cand_rows.append(
+                {
+                    "job_id": int(r.job_id),
+                    "kind": "cand",
+                    "task_seq": int(r.task_seq),
+                    "link_pos": int(link["pos"]),
+                    "url": link["url"],
+                    "host": link["host"],
+                    "rel": link["rel"] or "",
+                    "alt": link["alt"] or "",
+                    "text": link["text"] or "",
+                    "depth": int(r.depth) + 1,
+                    "redirect": 0,
+                    "target": link["target"] or "Follow",
+                    "marker": 0,
+                }
+            )
+    if not drain:
+        for r in recs:
+            if r["action"] == "term:Redirect":
+                cand_rows.append(
+                    {
+                        "job_id": int(r["job_id"]),
+                        "kind": "cand",
+                        "task_seq": int(r["task_seq"]),
+                        "link_pos": 0,
+                        "url": r["canon_location"],
+                        "host": _url_host(r["canon_location"]),
+                        "rel": "",
+                        "alt": "",
+                        "text": "",
+                        "depth": int(r["depth"]),
+                        "redirect": int(r["redirect"]) + 1,
+                        "target": r["target"],
+                        "marker": int(r["marker"]),
+                    }
+                )
+
+    # --- dedup flag: exact check against the url_seen partitions, pruned to
+    #     the CANDIDATE HOSTS' shards (one xxhash64 per distinct host — the
+    #     probe needs no Bloom bit positions driver-side because the exact
+    #     set itself is the membership test; the bitsets still get every new
+    #     task's bits below, so later DISTRIBUTED iterations probe the same
+    #     filters). Scan volume stays O(touched-shard history), same as the
+    #     distributed Bloom-positive prune.
+    dedup_stats = {"dedup_shards_read": 0, "dedup_read_bytes": 0}
+    if cand_rows:
+        if cfg.use_bloom:
+            host_shards = {
+                h: bloom_shard_id(h or "", cfg.n_bloom_shards)
+                for h in {c["host"] for c in cand_rows}
+            }
+            pos_shards = sorted(set(host_shards.values()))
+            sets: dict[int, set] = {}
+            if io.exists(bloom.URL_SEEN_TABLE):
+                dedup_stats["dedup_shards_read"] = len(pos_shards)
+                sets = _seen_sets(io, pos_shards)
+            empty: set = set()
+            for c in cand_rows:
+                c["seen_global"] = (
+                    (int(c["job_id"]), c["url"])
+                    in sets.get(host_shards[c["host"]], empty)
+                )
+        else:
+            seen_pdf = (
+                io.read_partitions_local(
+                    bloom.URL_SEEN_TABLE, columns=["job_id", "url"]
+                )
+                if io.exists(bloom.URL_SEEN_TABLE)
+                else pd.DataFrame(columns=["job_id", "url"])
+            )
+            seen_set = set(
+                zip(seen_pdf["job_id"].tolist(), seen_pdf["url"].tolist())
+            )
+            for c in cand_rows:
+                c["seen_global"] = (int(c["job_id"]), c["url"]) in seen_set
+    engine._dedup_stats = dedup_stats
+    mark("dedup")
+
+    # --- chain input (resp rows ∪ cand rows) and the exact bucket fold
+    chain_in_rows: list[dict] = []
+    for r in recs:
+        chain_in_rows.append(
+            {
+                "job_id": int(r["job_id"]),
+                "kind": "resp",
+                "task_seq": int(r["task_seq"]),
+                "link_pos": 0,
+                "url": r["url"],
+                "host": r["host"],
+                "rel": r["rel"],
+                "alt": r["alt"],
+                "text": r["text"],
+                "depth": int(r["depth"]),
+                "redirect": int(r["redirect"]),
+                "target": r["target"],
+                "marker": int(r["marker"]),
+                "seen_global": False,
+                "status": r["status"],
+                "content_type": r["content_type"],
+                "content_encoding": r["content_encoding"],
+                "body": (
+                    r["html"]
+                    if int(r["marker"]) == 1 and r["action"] == "processed"
+                    else None
+                ),
+                "action": r["action"],
+            }
+        )
+    for c in cand_rows:
+        chain_in_rows.append(
+            {
+                **{k: c.get(k) for k in (
+                    "job_id", "kind", "task_seq", "link_pos", "url", "host",
+                    "rel", "alt", "text", "depth", "redirect", "target",
+                    "marker", "seen_global",
+                )},
+                "status": None,
+                "content_type": None,
+                "content_encoding": None,
+                "body": None,
+                "action": None,
+            }
+        )
+    chain_in = pd.DataFrame(chain_in_rows, columns=_CHAIN_IN_COLS)
+    fn = make_chain_fn(cfg, engine.custom_task_filters, drain)
+    # ONE fold call: bucketing exists only for cluster parallelism — jobs are
+    # processed independently inside bucket_fn, so a single call over all
+    # buckets' rows produces the identical per-job output (row order in the
+    # appended log differs, which nothing depends on: every consumer sorts)
+    chain_out = fn((0,), chain_in, states)
+    if not len(chain_out):
+        chain_out = pd.DataFrame(columns=S.CHAIN_OUT_COLS)
+    mark("chain")
+
+    # --- fetch_log rows (mirror of base_log + detail joins)
+    for r in recs:
+        r["bytes"] = len(r["html"]) if r["html"] is not None else None
+        r["wait_iters"] = int(it) - int(r["added_iter"])
+    if cfg.fetch_log_detail:
+        titles = {
+            (int(p.job_id), int(p.task_seq)): p
+            for p in parsed.itertuples(index=False)
+        }
+        n_links: dict = {}
+        for c in cand_rows:
+            if c["redirect"] == 0:
+                k = (c["job_id"], c["task_seq"])
+                n_links[k] = n_links.get(k, 0) + 1
+        fetch_log_rows = []
+        for r in recs:
+            k = (int(r["job_id"]), int(r["task_seq"]))
+            p = titles.get(k)
+            row = {
+                "iter": it,
+                **{c: r[c] for c in (
+                    "job_id", "task_seq", "url", "depth", "redirect",
+                    "target", "marker", "status", "action",
+                )},
+                "n_links": n_links.get(k, 0),
+                "title": _none(getattr(p, "title", None)) if p else None,
+                "bytes": r["bytes"],
+                "wait_iters": r["wait_iters"],
+            }
+            for uc in user_cols:
+                row[uc] = _none(getattr(p, uc, None)) if p else None
+            fetch_log_rows.append(row)
+    else:
+        user_cols = []
+        fetch_log_rows = [
+            {
+                "iter": it,
+                **{c: r[c] for c in (
+                    "job_id", "task_seq", "url", "depth", "redirect",
+                    "target", "marker", "status", "action",
+                )},
+                "n_links": 0,
+                "title": None,
+                "bytes": r["bytes"],
+                "wait_iters": r["wait_iters"],
+            }
+            for r in recs
+        ]
+    fetch_log_pdf = pd.DataFrame(
+        fetch_log_rows,
+        columns=["iter", "job_id", "task_seq", "url", "depth", "redirect",
+                 "target", "marker", "status", "action", "n_links", "title",
+                 "bytes", "wait_iters", *user_cols],
+    )
+
+    # --- counters (mirror of the one-collect aggregate)
+    counts: dict[str, int] = {}
+    for r in recs:
+        counts[r["action"]] = counts.get(r["action"], 0) + 1
+    if cfg.sched_log_detail:
+        sched = chain_out[chain_out["row_kind"] == "sched"]
+        sched_counts = sched.groupby("action").size().to_dict()
+    else:
+        sc = chain_out[chain_out["row_kind"] == "sched_count"]
+        sched_counts = (
+            sc.groupby("action")["parent_seq_num"].sum().astype(int).to_dict()
+        )
+    engine._sched_counts = {k: int(v) for k, v in sched_counts.items()}
+
+    new_tasks = chain_out[chain_out["row_kind"] == "task"]
+    new_shards = sorted(
+        {
+            bloom_shard_id(h or "", cfg.n_bloom_shards)
+            for h in new_tasks["host"].tolist()
+        }
+    )
+    new_buckets = sorted(
+        {int(j) % N_JOB_BUCKETS for j in new_tasks["job_id"].tolist()}
+    )
+
+    # --- commits: pyarrow through the same TableIO manifest
+    chain_schema = io.schema("chain")
+    log_rows = chain_out[chain_out["row_kind"] != "state"].copy()
+    log_rows["iter"] = int(it)
+    io.append_pdf("chain", log_rows, chain_schema)
+
+    states_out = chain_out[chain_out["row_kind"] == "state"][
+        _STATE_COLS
+    ].copy()
+    states_out["_bucket"] = states_out["job_id"].astype("int64") % N_JOB_BUCKETS
+    io.overwrite_partitions_pdf(
+        "job_state", states_out, "_bucket", io.schema("job_state")
+    )
+
+    seen_new = new_tasks[["job_id", "url", "host"]].copy()
+    seen_new["added_iter"] = int(it)
+    seen_new["shard"] = [
+        bloom_shard_id(h or "", cfg.n_bloom_shards)
+        for h in seen_new["host"].tolist()
+    ]
+    io.append_partitions_pdf(
+        "url_seen", seen_new.drop(columns=["host"]), "shard",
+        io.schema("url_seen"),
+    )
+
+    if cfg.use_bloom and len(new_tasks):
+        pairs = [
+            (
+                bloom_shard_id(h or "", cfg.n_bloom_shards),
+                bloom_positions(int(j), u, cfg.bloom_num_hashes,
+                                cfg.bloom_bits_per_shard),
+            )
+            for j, u, h in zip(
+                new_tasks["job_id"].tolist(), new_tasks["url"].tolist(),
+                new_tasks["host"].tolist(),
+            )
+        ]
+        bloom.merge_pairs_local(io, cfg, pairs)
+
+    if cfg.delay_ms > 0:
+        tasks_pdf = new_tasks[_TASK_SLICE].copy()
+        tasks_pdf["next_fetch_iter"] = int(it + 1)
+        tasks_pdf["added_iter"] = int(it)
+        if remaining is not None and len(remaining):
+            tasks_pdf = pd.concat(
+                [remaining[_FRONTIER_COLS], tasks_pdf[_FRONTIER_COLS]],
+                ignore_index=True,
+            )
+        io.overwrite_pdf(
+            "frontier_pending", tasks_pdf[_FRONTIER_COLS],
+            io.schema("frontier_pending"),
+        )
+        next_job_ids = set(tasks_pdf["job_id"].tolist())
+    else:
+        next_job_ids = set(new_tasks["job_id"].tolist())
+
+    touched = chain_out[
+        (chain_out["row_kind"] == "state") & (chain_out["action"] == "touched")
+    ]
+    finish_reason = "SoftTimeout" if drain else "Complete"
+    finished = touched[~touched["job_id"].isin(next_job_ids)]
+    job_log_pdf = pd.DataFrame(
+        {
+            "job_id": finished["job_id"].astype("int64"),
+            "iter": int(it),
+            "reason": finish_reason,
+            "budget_used": finished["budget_used"].astype("int64"),
+            "resp_counter": finished["resp_counter"].astype("int64"),
+            "seq_counter": finished["seq_counter"].astype("int64"),
+        }
+    )
+    io.append_pdf("job_log", job_log_pdf, io.schema("job_log"))
+
+    if io.exists("fetch_log") or io.snapshot_id("fetch_log") > 0:
+        fl_schema = io.schema("fetch_log")
+    else:
+        fl_schema = T.StructType.fromDDL(S.FETCH_LOG)
+        if engine.user_extract_schema and cfg.fetch_log_detail:
+            for f in T.StructType.fromDDL(engine.user_extract_schema).fields:
+                fl_schema = fl_schema.add(f)
+    io.append_pdf("fetch_log", fetch_log_pdf, fl_schema)
+
+    # --- metrics buffer + state + checkpoint (identical to the Spark path)
+    n_ready = sum(counts.values())
+    row = [
+        it,
+        n_ready,
+        counts.get("processed", 0),
+        sum(v for k, v in counts.items() if k.startswith("error")),
+        sum(engine._sched_counts.values()),
+        engine._sched_counts.get("accept", 0),
+        engine._sched_counts.get("skip", 0),
+        engine._sched_counts.get("term", 0),
+        0,
+        int((time.time() - t0) * 1000),
+        dedup_stats.get("dedup_shards_read", 0),
+        dedup_stats.get("dedup_read_bytes", 0),
+    ]
+    buf = list(io.state.get("metrics_buffer", []))
+    buf.append(row)
+    io.state["metrics_buffer"] = buf
+
+    pending_next = (
+        int(io.state.get("pending", 0))
+        - n_ready
+        + engine._sched_counts.get("accept", 0)
+    )
+    if cfg.delay_ms > 0:
+        new_buckets = sorted(
+            set(io.state.get("pending_buckets") or []) | set(new_buckets)
+        )
+    io.set_state(iter=it, pending=pending_next,
+                 pending_buckets=sorted(new_buckets))
+    io.checkpoint(f"iter-{it:06d}")
+    if prof:
+        mark("commit")
+        prev = t0
+        deltas = {}
+        for label, t in marks:
+            deltas[label] = round(t - prev, 2)
+            prev = t
+        print(f"[profile] iter={it} ready={n_ready} LOCAL {deltas}",
+              flush=True)
+    return counts

@@ -210,15 +210,25 @@ class TableIO:
             t = self._tbl(name)
             d = f"data-{t['next_dir']:06d}"
             t["next_dir"] += 1
-        written = {}
-        for v, rows in rows_by_value.items():
+
+        def write_one(item):
+            v, rows = item
             sub = os.path.join(self.root, name, d, f"_pc={v}")
             os.makedirs(sub, exist_ok=True)
             pq.write_table(
                 pa.Table.from_pylist(rows, schema=arrow_schema),
                 os.path.join(sub, "part-00000.parquet"),
             )
-            written[str(v)] = f"{d}/_pc={v}"
+            return str(v), f"{d}/_pc={v}"
+
+        items = list(rows_by_value.items())
+        if len(items) > 4:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=16) as ex:
+                written = dict(ex.map(write_one, items))
+        else:
+            written = dict(map(write_one, items))
         with self._lock:
             parts = dict(self._parts(name))
             for v, rel in written.items():
@@ -295,6 +305,178 @@ class TableIO:
             for rels in parts.values()
             for rel in rels
         ]
+
+    # ---------- driver-local IO (the thin-iteration fast path) ----------
+    #
+    # A crawl's tail iterations are a few hundred rows: paying multi-stage
+    # Spark job latency for them dominates wall time (the same is true on a
+    # 1000-executor cluster — tail/thin micro-batches are a known launch-
+    # overhead pathology). These helpers read/write the SAME table layout
+    # with pyarrow directly on the driver, so a thin iteration costs
+    # milliseconds. The files they write are indistinguishable from Spark's
+    # (same dirs, same manifest commits, schema derived from the same
+    # StructType), so Spark and local iterations interleave freely.
+
+    @staticmethod
+    def _arrow_schema(spark_schema: T.StructType):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return to_arrow_schema(spark_schema)
+
+    def _read_file_pdf(self, path: str, columns=None):
+        """One parquet file → pandas, via an immutable-file cache (data dirs
+        are never rewritten in place — append/overwrite always create new
+        dirs — so a path's content is stable for the table's lifetime)."""
+        import pyarrow.parquet as pq
+
+        key = (path, tuple(columns) if columns else None)
+        cache = getattr(self, "_local_pdf_cache", None)
+        if cache is None:
+            cache = self._local_pdf_cache = {}
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+        pdf = pq.read_table(path, columns=columns).to_pandas()
+        if len(cache) > 8192:  # bound driver memory on very long crawls
+            cache.clear()
+        cache[key] = pdf
+        return pdf
+
+    def _read_paths_local(self, paths: list[str], columns=None):
+        """Concatenated pandas frame of the parquet files under ``paths``."""
+        import pandas as pd
+
+        frames = []
+        for d in paths:
+            if not os.path.isdir(d):
+                continue
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".parquet"):
+                    frames.append(
+                        self._read_file_pdf(os.path.join(d, f), columns)
+                    )
+        if not frames:
+            return None
+        return pd.concat(frames, ignore_index=True)
+
+    def _empty_pdf(self, name: str, columns=None):
+        import pandas as pd
+
+        schema = T.StructType.fromJson(self._tbl(name)["schema"])
+        cols = columns or [f.name for f in schema.fields]
+        return pd.DataFrame(columns=cols)
+
+    def read_local(self, name: str, columns=None):
+        """Driver-side pandas read of an unpartitioned table (all dirs)."""
+        t = self._tbl(name)
+        dirs = t["snapshots"].get(str(t["current"]), [])
+        pdf = self._read_paths_local(
+            [os.path.join(self.root, name, d) for d in dirs], columns
+        )
+        return self._empty_pdf(name, columns) if pdf is None else pdf
+
+    def read_last_append_local(self, name: str, columns=None):
+        t = self._tbl(name)
+        dirs = t["snapshots"].get(str(t["current"]), [])
+        pdf = self._read_paths_local(
+            [os.path.join(self.root, name, dirs[-1])] if dirs else [], columns
+        )
+        return self._empty_pdf(name, columns) if pdf is None else pdf
+
+    def read_partitions_local(self, name: str, values=None, columns=None):
+        pdf = self._read_paths_local(self.partition_paths(name, values), columns)
+        return self._empty_pdf(name, columns) if pdf is None else pdf
+
+    def _write_pdf_dir(self, name: str, pdf, spark_schema: T.StructType) -> str:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        with self._lock:
+            t = self._tbl(name)
+            d = f"data-{t['next_dir']:06d}"
+            t["next_dir"] += 1
+        path = os.path.join(self.root, name, d)
+        os.makedirs(path, exist_ok=True)
+        arrow = self._arrow_schema(spark_schema)
+        tbl = pa.Table.from_pandas(
+            pdf[[f.name for f in spark_schema.fields]],
+            schema=arrow,
+            preserve_index=False,
+        )
+        pq.write_table(tbl, os.path.join(path, "part-00000.parquet"))
+        return d
+
+    def append_pdf(self, name: str, pdf, spark_schema: T.StructType) -> int:
+        """Driver-side twin of ``append`` (no Spark job)."""
+        d = self._write_pdf_dir(name, pdf, spark_schema)
+        with self._lock:
+            t = self._tbl(name)
+            cur = list(t["snapshots"].get(str(t["current"]), []))
+            return self._commit(name, cur + [d], spark_schema)
+
+    def overwrite_pdf(self, name: str, pdf, spark_schema: T.StructType) -> int:
+        d = self._write_pdf_dir(name, pdf, spark_schema)
+        return self._commit(name, [d], spark_schema)
+
+    def _write_partitions_pdf(
+        self, name: str, pdf, part_col: str, spark_schema: T.StructType
+    ) -> dict:
+        """Write one parquet file per touched partition value (threaded —
+        pyarrow releases the GIL on IO, and tail iterations touch many tiny
+        partitions)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        with self._lock:
+            t = self._tbl(name)
+            d = f"data-{t['next_dir']:06d}"
+            t["next_dir"] += 1
+        arrow = self._arrow_schema(spark_schema)
+        cols = [f.name for f in spark_schema.fields]
+        groups = list(pdf.groupby(part_col, sort=True))
+
+        def write_one(item):
+            v, grp = item
+            sub = os.path.join(self.root, name, d, f"_pc={v}")
+            os.makedirs(sub, exist_ok=True)
+            pq.write_table(
+                pa.Table.from_pandas(grp[cols], schema=arrow,
+                                     preserve_index=False),
+                os.path.join(sub, "part-00000.parquet"),
+            )
+            return str(v), f"{d}/_pc={v}"
+
+        if len(groups) > 4:
+            with ThreadPoolExecutor(max_workers=16) as ex:
+                written = dict(ex.map(write_one, groups))
+        else:
+            written = dict(map(write_one, groups))
+        return written
+
+    def append_partitions_pdf(
+        self, name: str, pdf, part_col: str, spark_schema: T.StructType
+    ) -> int:
+        """Driver-side twin of ``append_partitions``: one file per touched
+        partition value, other partitions' dir lists untouched."""
+        written = self._write_partitions_pdf(name, pdf, part_col, spark_schema)
+        with self._lock:
+            parts = {k: list(vv) for k, vv in self._parts(name).items()}
+            for v, rel in written.items():
+                parts.setdefault(v, []).append(rel)
+            return self._commit_parts(name, parts, spark_schema)
+
+    def overwrite_partitions_pdf(
+        self, name: str, pdf, part_col: str, spark_schema: T.StructType
+    ) -> int:
+        """Driver-side twin of ``overwrite_partitions``."""
+        written = self._write_partitions_pdf(name, pdf, part_col, spark_schema)
+        with self._lock:
+            parts = dict(self._parts(name))
+            for v, rel in written.items():
+                parts[v] = [rel]
+            return self._commit_parts(name, parts, spark_schema)
 
     def merge_insert_new(self, name: str, df: DataFrame, key: str | list[str]) -> int:
         """MERGE ... WHEN NOT MATCHED THEN INSERT (dedup-set commit;

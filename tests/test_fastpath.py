@@ -1,0 +1,172 @@
+"""Driver-local thin-iteration fast path ≡ distributed path ≡ simulator.
+
+The engine dispatches per iteration: thin frontiers run driver-local
+(plans/local_step.py), fat ones run the distributed plan. These tests pin
+
+- the pure-python xxhash64 twin (functions/xxh64.py) against Spark's JVM
+  implementation bit-for-bit (the Bloom shard ids / bit positions both
+  paths compute must agree);
+- a pure-Spark crawl (threshold=0) against an all-local crawl (threshold
+  large) against the reference simulator — identical crawl order, url_seen,
+  lineage, job_state, budgets;
+- a MIXED crawl (threshold between iteration sizes, so local and Spark
+  iterations interleave and read each other's table commits);
+- the point-fetcher client against the pages-join fetch.
+"""
+
+from __future__ import annotations
+
+import random
+import string
+
+from pyspark.sql import functions as F
+
+from crusty_core_spark.config import CrawlConfig
+from crusty_core_spark.plans.engine import CrawlEngine
+from crusty_core_spark.simulator import ReferenceSimulator
+from crusty_core_spark.sources.datagen import CorpusSpec, gen_corpus
+
+from tests.conftest import pages_df
+from tests.test_crawl_parity import (
+    assert_parity,
+    crawl_order_engine,
+    url_seen_engine,
+)
+
+
+def test_xxhash64_matches_spark(spark):
+    from crusty_core_spark.functions.xxh64 import xxhash64
+
+    rnd = random.Random(11)
+    rows = [
+        (
+            rnd.randint(-(2**31), 2**31 - 1),
+            rnd.randint(-(2**63), 2**63 - 1),
+            "".join(rnd.choices(string.printable + "ü€漢", k=rnd.randint(0, 80))),
+        )
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "i int, j long, s string")
+    got = df.select(
+        "i", "j", "s",
+        F.xxhash64("s").alias("hs"),
+        F.xxhash64("j").alias("hj"),
+        F.xxhash64("i").alias("hi"),
+        F.xxhash64(F.lit(3), "j", "s").alias("hm"),
+    ).collect()
+    for r in got:
+        assert xxhash64(r.s) == r.hs
+        assert xxhash64(r.j) == r.hj
+        assert xxhash64(("int", r.i)) == r.hi
+        assert xxhash64(("int", 3), r.j, r.s) == r.hm
+
+
+def _run_engine(spark, workdir, rows, seeds, cfg, **kw):
+    eng = CrawlEngine(spark, pages_df(spark, rows), workdir, cfg, **kw)
+    eng.seed(seeds)
+    eng.run()
+    return eng
+
+
+def _engine_state(eng):
+    """Everything observable: crawl order, url_seen, final job states,
+    job_log, task rows of the chain log."""
+    states = sorted(
+        tuple(r)
+        for r in eng._job_state_df().select(
+            "job_id", "budget_used", "lpp_seq", "lpp_count", "robots_state",
+            "resp_counter", "seq_counter"
+        ).collect()
+    )
+    job_log = sorted(
+        tuple(r)
+        for r in eng.job_log_df().select(
+            "job_id", "reason", "budget_used", "resp_counter", "seq_counter"
+        ).collect()
+    )
+    return (
+        crawl_order_engine(eng),
+        url_seen_engine(eng),
+        states,
+        job_log,
+    )
+
+
+def test_local_vs_spark_vs_mixed_identical(spark, workdir):
+    spec = CorpusSpec(n_hosts=6, base_pages_per_host=14, seed=42)
+    rows, seeds = gen_corpus(spec)
+    cfg_spark = CrawlConfig(local_iter_threshold=0)
+    cfg_local = CrawlConfig(local_iter_threshold=10**9)
+    # threshold=2: only the 1-2-row head iterations run local; the BFS
+    # middle runs distributed — the paths interleave over shared tables
+    cfg_mixed = CrawlConfig(local_iter_threshold=2)
+
+    sim = ReferenceSimulator({r["url"]: r for r in rows}, seeds,
+                             cfg_spark).run()
+    eng_s = _run_engine(spark, workdir + "/s", rows, seeds, cfg_spark)
+    eng_l = _run_engine(spark, workdir + "/l", rows, seeds, cfg_local)
+    eng_m = _run_engine(spark, workdir + "/m", rows, seeds, cfg_mixed)
+
+    st_s = _engine_state(eng_s)
+    assert st_s == _engine_state(eng_l)
+    assert st_s == _engine_state(eng_m)
+    assert_parity(sim, eng_l)
+
+
+def test_politeness_local_vs_spark(spark, workdir):
+    spec = CorpusSpec(n_hosts=4, base_pages_per_host=12, seed=7)
+    rows, seeds = gen_corpus(spec)
+    cfg_s = CrawlConfig(delay_ms=1000, concurrency_per_host=1,
+                        local_iter_threshold=0, max_iterations=40)
+    cfg_l = CrawlConfig(delay_ms=1000, concurrency_per_host=1,
+                        local_iter_threshold=10**9, max_iterations=40)
+    sim = ReferenceSimulator({r["url"]: r for r in rows}, seeds, cfg_s).run()
+    eng_s = _run_engine(spark, workdir + "/s", rows, seeds, cfg_s)
+    eng_l = _run_engine(spark, workdir + "/l", rows, seeds, cfg_l)
+    assert _engine_state(eng_s) == _engine_state(eng_l)
+    assert_parity(sim, eng_l)
+
+
+def test_fetcher_equivalent_to_pages_join(spark, workdir):
+    import pandas as pd
+
+    spec = CorpusSpec(n_hosts=5, base_pages_per_host=10, seed=3)
+    rows, seeds = gen_corpus(spec)
+    corpus = pd.DataFrame(rows)[
+        ["url", "html", "status", "location", "content_type",
+         "content_encoding"]
+    ]
+    idx = {u: i for i, u in enumerate(corpus["url"].tolist())}
+
+    def fetcher(urls):
+        return corpus.iloc[[idx[u] for u in urls if u in idx]]
+
+    cfg = CrawlConfig(local_iter_threshold=10**9)
+    eng_j = _run_engine(spark, workdir + "/j", rows, seeds, cfg)
+    eng_f = _run_engine(spark, workdir + "/f", rows, seeds, cfg,
+                        fetcher=fetcher)
+    assert _engine_state(eng_j) == _engine_state(eng_f)
+
+
+def test_local_path_used_and_resumable(spark, workdir):
+    """A local-path crawl checkpoint resumes identically (same TableIO
+    manifests), including when the resumed run continues distributed."""
+    spec = CorpusSpec(n_hosts=5, base_pages_per_host=12, seed=5)
+    rows, seeds = gen_corpus(spec)
+    cfg = CrawlConfig(local_iter_threshold=10**9)
+    eng = CrawlEngine(spark, pages_df(spark, rows), workdir + "/a", cfg)
+    eng.seed(seeds)
+    eng.run(max_iterations=2)
+    mid_seen = url_seen_engine(eng)
+
+    res = CrawlEngine.resume(spark, pages_df(spark, rows), workdir + "/a")
+    # resumed engine picks up the manifest state written by pyarrow commits
+    assert url_seen_engine(res) == mid_seen
+    # finish distributed from a local-path checkpoint
+    object.__setattr__(res.cfg, "local_iter_threshold", 0)
+    res.run()
+
+    full = CrawlEngine(spark, pages_df(spark, rows), workdir + "/b", cfg)
+    full.seed(seeds)
+    full.run()
+    assert _engine_state(res) == _engine_state(full)
