@@ -31,15 +31,24 @@ from crusty_core_spark.functions.text import tokens
 # ---------------------------------------------------------------- shingles
 
 def word_shingles(col: Column, k: int = 2) -> Column:
-    """Distinct word k-grams, joined by a single space."""
+    """Distinct word k-grams, joined by a single space.
+
+    Built by zipping k shifted slices of the token array — NOT by indexing
+    the array inside a lambda: higher-order functions evaluate interpreted,
+    and an ``element_at(tokens(col), i)`` in the lambda body re-runs the
+    whole split() PER ELEMENT (measured ~10x the cost of the entire minhash
+    stage). zip_with evaluates each operand once per row."""
     toks = tokens(col)
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
-        ),
-    )
+    if k == 1:
+        return F.array_distinct(toks)
+    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    grams = F.slice(toks, 1, m)
+    for j in range(1, k):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j + 1, m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     return F.array_distinct(grams)
 
 

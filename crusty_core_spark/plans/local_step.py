@@ -249,8 +249,11 @@ def step_local(engine, it: int) -> dict:
         ready_sdf = spark.createDataFrame(
             ready[_FRONTIER_COLS], schema=T.StructType.fromDDL(S.FRONTIER)
         )
+        # NB: no broadcast hint — Spark cannot broadcast the LEFT (outer)
+        # side of a left join; the LocalRelation's known tiny size lets AQE
+        # pick the build side
         fetched = (
-            resolve_ready(F.broadcast(ready_sdf), engine.hosts)
+            resolve_ready(ready_sdf, engine.hosts)
             .join(engine.pages, on="url", how="left")
             .select(*fetch_cols)
             .toPandas()
