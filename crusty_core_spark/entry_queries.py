@@ -882,7 +882,9 @@ def q33(spark, sf):
 # budgets all feed the aggregates).
 # ---------------------------------------------------------------------
 
-_CRAWL_ORACLE_ROOT = "/dev/shm/crusty_entry_crawl"
+# version-tagged: bump when the fetch_log schema changes so a cached
+# materialization from an older code version is never reused
+_CRAWL_ORACLE_ROOT = "/dev/shm/crusty_entry_crawl_v2"
 
 
 def _crawl_output_dir(sf: str) -> str:
@@ -998,6 +1000,45 @@ def q35(spark, sf):
         F.count("*").alias("n_links"),
         F.countDistinct("discovered_by").alias("n_parents"),
         F.max("depth").alias("max_depth"),
+    )
+
+
+@q(
+    "q36_crawl_io_tap",
+    f"""
+    SELECT action,
+           headers['content-type'][1] AS content_type_hdr,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(read_size) AS BIGINT) AS sum_read,
+           CAST(sum(write_size) AS BIGINT) AS sum_written,
+           CAST(sum(cardinality(headers)) AS BIGINT) AS sum_hdrs,
+           CAST(max(CAST(headers['content-length'][1] AS BIGINT)) AS BIGINT)
+               AS max_clen
+    FROM read_parquet('{_CRAWL01}/fetch_log/*.parquet')
+    GROUP BY action, content_type_hdr
+    """,
+)
+def q36(spark, sf):
+    """Wire-level byte-tap rollup over the materialized crawl: the
+    HttpStatus.headers map (types.rs:233-239) and LoadMetrics
+    read_size/write_size counters (types.rs:248-253, hyper_utils.rs
+    CountingStream) become hash-checked aggregates — header contents,
+    per-action read/write byte totals, content-length maxima."""
+    out = _ensure_crawl_output(spark, sf)
+    log = spark.read.parquet(f"{out}/fetch_log")
+    return log.groupBy(
+        "action",
+        F.element_at("headers", "content-type").alias("content_type_hdr"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("read_size").alias("sum_read"),
+        F.sum("write_size").alias("sum_written"),
+        F.sum(
+            F.when(F.col("headers").isNotNull(), F.size("headers"))
+        ).alias("sum_hdrs"),
+        F.max(
+            F.element_at("headers", "content-length").cast("long")
+        ).alias("max_clen"),
     )
 
 

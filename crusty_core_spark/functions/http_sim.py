@@ -1,0 +1,203 @@
+"""Deterministic HTTP wire-level simulation: response header map plus
+read/write byte counters per fetch, shared by the Spark engine
+(Column expressions), the driver-local fast path (pure python) and the
+reference simulator, so all three emit byte-identical fetch_log columns.
+
+Models the reference's per-request records:
+
+- ``HttpStatus.headers`` (reference ``main/src/types.rs:233-239``,
+  ``HeaderMap`` types.rs:212-231) → ``headers map<string,string>`` on
+  fetch_log. The simulated origin serves ``server``, ``content-type``,
+  ``content-length``, ``content-encoding`` (when the page row declares
+  one) and ``location`` (on redirects); null-valued entries are omitted.
+- ``LoadMetrics.read_size`` / ``write_size`` byte tap
+  (``main/src/types.rs:248-253``; counted at the socket by
+  ``CountingStream``, ``main/src/hyper_utils.rs:14-50``) →
+  ``read_size`` / ``write_size`` long columns. Wall-clock durations are
+  not reproducible across engines, so the Duration halves of
+  StatusMetrics/LoadMetrics map to the deterministic ``wait_iters``
+  tick counter already on fetch_log; the BYTE halves are modeled
+  exactly:
+
+  * ``write_size`` = length of the simulated request head
+    ``GET <url> HTTP/1.1␍␊Host: <host>␍␊User-Agent: <ua>␍␊``
+    ``Accept-Encoding: gzip, deflate␍␊␍␊``
+  * ``read_size`` = len(``HTTP/1.1 NNN␍␊``) + serialized header bytes
+    (``k: v␍␊`` each) + final ``␍␊`` + body bytes — body bytes counted
+    only when the pipeline actually loads the body (page exists, not a
+    redirect, content-type accepted, target loads: task_processor.rs
+    status stage vs load stage). ResolveError / JustResolveDNS rows
+    never connect → 0/0 with a null header map; HttpError (connected,
+    no response) counts the request write only.
+
+The body-read decision is taken from the BUILT-IN status
+classification, before custom status/load filters run — all three
+implementations evaluate it at that same stage, so parity holds by
+construction (custom status filters that reject a row do not shrink
+its read_size; documented simplification).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SERVER = "crusty-sim/1"
+_REQ_TEMPLATE = (
+    "GET {u} HTTP/1.1\r\nHost: {h}\r\nUser-Agent: {a}\r\n"
+    "Accept-Encoding: gzip, deflate\r\n\r\n"
+)
+#: request-head bytes excluding the url/host/user-agent values
+REQ_FIXED = len(_REQ_TEMPLATE.format(u="", h="", a=""))
+#: ``HTTP/1.1 NNN\r\n`` (status codes are always three digits here)
+STATUS_LINE = len("HTTP/1.1 ") + 3 + 2
+
+
+# ------------------------------------------------------------------ python
+
+def request_size(url: str, host: str, user_agent: str) -> int:
+    return REQ_FIXED + len(url) + len(host) + len(user_agent)
+
+
+def response_headers(
+    content_type, content_encoding, location, body_len, is_redirect
+) -> dict:
+    """Simulated origin response headers; insertion order is fixed and
+    mirrored by the Column builder (map key order is not semantically
+    relevant but keeping them identical makes byte-level diffs trivial)."""
+    h = {"server": SERVER}
+    if content_type is not None:
+        h["content-type"] = content_type
+    if body_len is not None:
+        h["content-length"] = str(body_len)
+    if content_encoding is not None:
+        h["content-encoding"] = content_encoding
+    if is_redirect and location is not None:
+        h["location"] = location
+    return h
+
+
+def head_size(headers: dict) -> int:
+    """Status line + ``k: v\\r\\n`` per header + terminating CRLF."""
+    return (
+        STATUS_LINE
+        + sum(len(k) + len(v) + 4 for k, v in headers.items())
+        + 2
+    )
+
+
+def io_metrics(
+    *,
+    url: str,
+    host: str,
+    user_agent: str,
+    resolve_failed: bool,
+    target: str,
+    status,
+    content_type,
+    content_encoding,
+    location,
+    body_len,
+    accepted_content_types,
+):
+    """(headers|None, read_size, write_size) for one fetch row — the
+    python mirror of :func:`with_io_columns`."""
+    if resolve_failed or target == "JustResolveDNS":
+        return None, 0, 0
+    wr = request_size(url, host, user_agent)
+    if status is None:
+        return None, 0, wr
+    status = int(status)
+    is_redirect = 300 <= status <= 399
+    headers = response_headers(
+        content_type, content_encoding, location, body_len, is_redirect
+    )
+    rd = head_size(headers)
+    ct = content_type or ""
+    ct_ok = any(a in ct for a in accepted_content_types)
+    if (
+        not is_redirect
+        and ct_ok
+        and target != "Head"
+        and body_len is not None
+    ):
+        rd += int(body_len)
+    return headers, rd, wr
+
+
+# ------------------------------------------------------------------ spark
+
+def with_io_columns(df, cfg) -> "tuple[Column, Column, Column]":
+    """Build (headers, read_size, write_size) Columns over a fetched
+    frame carrying url/host/target/resolve_failed/status/content_type/
+    content_encoding/location/html. Pure JVM expressions — no Python
+    crossing; whole-stage-codegen friendly."""
+    body_len = F.length("html").cast("long")
+    is_redirect = (
+        F.col("status").isNotNull() & F.col("status").between(300, 399)
+    )
+    connected = (~F.col("resolve_failed")) & (
+        F.col("target") != "JustResolveDNS"
+    )
+    got_resp = connected & F.col("status").isNotNull()
+
+    # fixed entry order matching response_headers(); null values dropped
+    entries = F.array(
+        F.struct(F.lit("server").alias("key"), F.lit(SERVER).alias("value")),
+        F.struct(
+            F.lit("content-type").alias("key"),
+            F.col("content_type").alias("value"),
+        ),
+        F.struct(
+            F.lit("content-length").alias("key"),
+            body_len.cast("string").alias("value"),
+        ),
+        F.struct(
+            F.lit("content-encoding").alias("key"),
+            F.col("content_encoding").alias("value"),
+        ),
+        F.struct(
+            F.lit("location").alias("key"),
+            F.when(is_redirect, F.col("location")).alias("value"),
+        ),
+    )
+    headers = F.when(
+        got_resp,
+        F.map_from_entries(
+            F.filter(entries, lambda e: e["value"].isNotNull())
+        ),
+    )
+
+    write_size = F.when(
+        connected,
+        F.lit(REQ_FIXED)
+        + F.length("url")
+        + F.length("host")
+        + F.lit(len(cfg.user_agent)),
+    ).otherwise(F.lit(0)).cast("long")
+
+    hdr_bytes = F.aggregate(
+        F.map_entries(headers),
+        F.lit(STATUS_LINE + 2),
+        lambda acc, e: acc + F.length(e["key"]) + F.length(e["value"]) + 4,
+    )
+    ct_ok = F.lit(False)
+    for a in cfg.accepted_content_types:
+        ct_ok = ct_ok | F.col("content_type").contains(a)
+    ct_ok = F.coalesce(ct_ok, F.lit(False))
+    body_read = (
+        got_resp
+        & ~is_redirect
+        & ct_ok
+        & (F.col("target") != "Head")
+        & body_len.isNotNull()
+    )
+    read_size = (
+        F.when(
+            got_resp,
+            hdr_bytes + F.when(body_read, body_len).otherwise(F.lit(0)),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return headers, read_size, write_size

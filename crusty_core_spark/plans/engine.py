@@ -349,6 +349,18 @@ class CrawlEngine:
             )
             .otherwise(F.lit("processed")),
         )
+        # wire-level byte tap + response header map (HttpStatus.headers
+        # types.rs:233-239; LoadMetrics.read_size/write_size via
+        # CountingStream, hyper_utils.rs:14-50) — deterministic simulated
+        # values shared with the simulator (functions/http_sim.py)
+        from crusty_core_spark.functions import http_sim as HS
+
+        h_col, rd_col, wr_col = HS.with_io_columns(fetched, cfg)
+        fetched = (
+            fetched.withColumn("headers", h_col)
+            .withColumn("read_size", rd_col)
+            .withColumn("write_size", wr_col)
+        )
         if self.custom_status_filters or self.custom_load_filters:
             fetched = self._apply_custom_fetch_filters(fetched)
         fetched.persist()
@@ -515,6 +527,10 @@ class CrawlEngine:
             # per-stage metric analogue (StatusMetrics.wait_duration,
             # types.rs:242-246) in deterministic iteration ticks
             (F.lit(it) - F.col("added_iter")).cast("long").alias("wait_iters"),
+            # response header map + wire byte tap (functions/http_sim.py)
+            "headers",
+            "read_size",
+            "write_size",
         )
         if cfg.fetch_log_detail:
             titles = parsed.select("job_id", "task_seq", "title", *user_cols)
@@ -536,7 +552,8 @@ class CrawlEngine:
         fetch_log = fetch_log.select(
             "iter", "job_id", "task_seq", "url", "depth", "redirect",
             "target", "marker", "status", "action", "n_links", "title",
-            "bytes", "wait_iters", *user_cols,
+            "bytes", "wait_iters", "headers", "read_size", "write_size",
+            *user_cols,
         )
 
         # ONE collect for every per-iteration driver fact: fetch action
@@ -567,11 +584,27 @@ class CrawlEngine:
                     .cast("int").cast("string").alias("action"),
                 ).distinct().select("fam", "action", zero)
             )
+            .unionByName(
+                # wire byte tap totals (hyper_utils.rs Stats) — same collect
+                fetched.groupBy(F.lit("bytes").alias("fam"),
+                                F.lit("read").alias("action"))
+                .agg(F.coalesce(F.sum("read_size"), F.lit(0))
+                     .cast("long").alias("n"))
+            )
+            .unionByName(
+                fetched.groupBy(F.lit("bytes").alias("fam"),
+                                F.lit("write").alias("action"))
+                .agg(F.coalesce(F.sum("write_size"), F.lit(0))
+                     .cast("long").alias("n"))
+            )
             .collect()
         )
         counts = {r["action"]: r["n"] for r in count_rows if r["fam"] == "fetch"}
         self._sched_counts = {
             r["action"]: r["n"] for r in count_rows if r["fam"] == "sched"
+        }
+        self._io_bytes = {
+            r["action"]: int(r["n"]) for r in count_rows if r["fam"] == "bytes"
         }
         new_shards = [
             int(r["action"]) for r in count_rows if r["fam"] == "shard"
@@ -826,6 +859,7 @@ class CrawlEngine:
         # write per iteration
         sched_counts = getattr(self, "_sched_counts", {})
         dedup_stats = getattr(self, "_dedup_stats", {})
+        io_bytes = getattr(self, "_io_bytes", {})
         n_ready = sum(counts.values())
         row = [
             it,
@@ -836,7 +870,8 @@ class CrawlEngine:
             sched_counts.get("accept", 0),
             sched_counts.get("skip", 0),
             sched_counts.get("term", 0),
-            0,
+            io_bytes.get("read", 0),
+            io_bytes.get("write", 0),
             wall_ms,
             dedup_stats.get("dedup_shards_read", 0),
             dedup_stats.get("dedup_read_bytes", 0),

@@ -246,9 +246,17 @@ def step_local(engine, it: int) -> dict:
                 fetched[c] = None
         fetched = fetched[fetch_cols]
     else:
-        ready_sdf = spark.createDataFrame(
-            ready[_FRONTIER_COLS], schema=T.StructType.fromDDL(S.FRONTIER)
-        )
+        # pandas promotes int columns to float when they ever met a NaN
+        # (e.g. via concat with empty frames) — coerce back to the frontier
+        # schema's exact types before the Spark conversion
+        frontier_schema = T.StructType.fromDDL(S.FRONTIER)
+        ready_pd = ready[_FRONTIER_COLS].copy()
+        for f in frontier_schema.fields:
+            if isinstance(f.dataType, (T.LongType, T.IntegerType)):
+                ready_pd[f.name] = (
+                    pd.to_numeric(ready_pd[f.name]).fillna(0).astype("int64")
+                )
+        ready_sdf = spark.createDataFrame(ready_pd, schema=frontier_schema)
         # NB: no broadcast hint — Spark cannot broadcast the LEFT (outer)
         # side of a left join; the LocalRelation's known tiny size lets AQE
         # pick the build side
@@ -461,9 +469,26 @@ def step_local(engine, it: int) -> dict:
     mark("chain")
 
     # --- fetch_log rows (mirror of base_log + detail joins)
+    from crusty_core_spark.functions import http_sim as HS
+
     for r in recs:
         r["bytes"] = len(r["html"]) if r["html"] is not None else None
         r["wait_iters"] = int(it) - int(r["added_iter"])
+        # wire byte tap + header map (functions/http_sim.py) — identical
+        # formulas to the engine's Column path and the simulator
+        r["headers"], r["read_size"], r["write_size"] = HS.io_metrics(
+            url=r["url"],
+            host=r["host"],
+            user_agent=cfg.user_agent,
+            resolve_failed=bool(r["resolve_failed"]),
+            target=r["target"],
+            status=r["status"],
+            content_type=r["content_type"],
+            content_encoding=r["content_encoding"],
+            location=r["location"],
+            body_len=len(r["html"]) if r["html"] is not None else None,
+            accepted_content_types=cfg.accepted_content_types,
+        )
     if cfg.fetch_log_detail:
         titles = {
             (int(p.job_id), int(p.task_seq)): p
@@ -488,6 +513,9 @@ def step_local(engine, it: int) -> dict:
                 "title": _none(getattr(p, "title", None)) if p else None,
                 "bytes": r["bytes"],
                 "wait_iters": r["wait_iters"],
+                "headers": r["headers"],
+                "read_size": r["read_size"],
+                "write_size": r["write_size"],
             }
             for uc in user_cols:
                 row[uc] = _none(getattr(p, uc, None)) if p else None
@@ -505,6 +533,9 @@ def step_local(engine, it: int) -> dict:
                 "title": None,
                 "bytes": r["bytes"],
                 "wait_iters": r["wait_iters"],
+                "headers": r["headers"],
+                "read_size": r["read_size"],
+                "write_size": r["write_size"],
             }
             for r in recs
         ]
@@ -512,7 +543,8 @@ def step_local(engine, it: int) -> dict:
         fetch_log_rows,
         columns=["iter", "job_id", "task_seq", "url", "depth", "redirect",
                  "target", "marker", "status", "action", "n_links", "title",
-                 "bytes", "wait_iters", *user_cols],
+                 "bytes", "wait_iters", "headers", "read_size", "write_size",
+                 *user_cols],
     )
 
     # --- counters (mirror of the one-collect aggregate)
@@ -633,7 +665,8 @@ def step_local(engine, it: int) -> dict:
         engine._sched_counts.get("accept", 0),
         engine._sched_counts.get("skip", 0),
         engine._sched_counts.get("term", 0),
-        0,
+        sum(int(r["read_size"]) for r in recs),
+        sum(int(r["write_size"]) for r in recs),
         int((time.time() - t0) * 1000),
         dedup_stats.get("dedup_shards_read", 0),
         dedup_stats.get("dedup_read_bytes", 0),

@@ -20,7 +20,11 @@ URL_SEEN = "job_id long, url string, added_iter long"
 FETCH_LOG = (
     "iter long, job_id long, task_seq long, url string, depth int, "
     "redirect int, target string, marker int, status int, action string, "
-    "n_links int, title string, bytes long, wait_iters long"
+    "n_links int, title string, bytes long, wait_iters long, "
+    # HttpStatus.headers (types.rs:233-239) + LoadMetrics read/write byte
+    # tap (types.rs:248-253, hyper_utils.rs CountingStream) — deterministic
+    # simulated values, shared formulas in functions/http_sim.py
+    "headers map<string,string>, read_size long, write_size long"
 )
 
 JOB_LOG = (
@@ -41,7 +45,8 @@ LINEAGE = (
 METRICS = (
     "iter long, n_ready long, n_processed long, n_errors long, "
     "n_candidates long, n_accepted long, n_skipped long, n_terminated long, "
-    "bytes_fetched long, wall_ms long, "
+    # wire byte tap per iteration (hyper_utils.rs Stats read/write)
+    "bytes_fetched long, bytes_sent long, wall_ms long, "
     # dedup-backstop scan accounting: shards whose url_seen partitions were
     # read this iteration and the bytes scanned — the O(new-work) evidence
     # (stays flat as history grows instead of tracking total crawled)

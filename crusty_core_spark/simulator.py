@@ -362,6 +362,28 @@ class ReferenceSimulator:
                 "action": action,
             }
         )
+        # wire-level byte tap + response header map, the same deterministic
+        # formulas as the engine (functions/http_sim.py; HttpStatus.headers
+        # types.rs:233-239, LoadMetrics read/write hyper_utils.rs:14-50)
+        from crusty_core_spark.functions import http_sim as HS
+
+        headers, read_size, write_size = HS.io_metrics(
+            url=cand.url,
+            host=cand.host,
+            user_agent=cfg.user_agent,
+            resolve_failed=resolve_failed,
+            target=cand.target,
+            status=page.get("status") if page is not None else None,
+            content_type=page.get("content_type") if page is not None else None,
+            content_encoding=(
+                page.get("content_encoding") if page is not None else None
+            ),
+            location=page.get("location") if page is not None else None,
+            body_len=(
+                len(bytes(page.get("html") or b"")) if page is not None else None
+            ),
+            accepted_content_types=cfg.accepted_content_types,
+        )
         res.fetch_log.append(
             {
                 "job_id": job_id,
@@ -374,6 +396,9 @@ class ReferenceSimulator:
                 "action": action,
                 "n_links": n_links,
                 "title": title,
+                "headers": headers,
+                "read_size": read_size,
+                "write_size": write_size,
                 **user_extra,
             }
         )

@@ -1,0 +1,142 @@
+"""Wire-level byte tap + response header map (functions/http_sim.py).
+
+Three layers:
+1. Column expressions ≡ pure-python formulas on a hand-built matrix of
+   edge cases (resolve failure, DNS-only, missing page, redirect,
+   rejected content type, Head target, gzip body, oversized body).
+2. Engine fetch_log ≡ simulator fetch_log on a real crawl (the engine
+   side exercises the distributed path AND the driver-local fast path
+   depending on iteration width — both must match the simulator).
+3. Metrics table byte totals == fetch_log sums (the per-iteration tap,
+   hyper_utils.rs Stats read()/write()).
+"""
+
+from __future__ import annotations
+
+from crusty_core_spark.config import CrawlConfig
+from crusty_core_spark.functions import http_sim as HS
+from crusty_core_spark.sources.datagen import CorpusSpec
+
+from tests.test_crawl_parity import run_both
+
+CASES = [
+    # url, host, resolve_failed, target, status, ctype, cenc, loc, html
+    ("http://a.example/", "a.example", True, "Follow", None, None, None,
+     None, None),
+    ("http://a.example/", "a.example", False, "JustResolveDNS", 200,
+     "text/html", None, None, b"<html>x</html>"),
+    ("http://a.example/missing", "a.example", False, "Follow", None, None,
+     None, None, None),
+    ("http://a.example/r", "a.example", False, "Follow", 301, "text/html",
+     None, "http://a.example/t", b""),
+    ("http://a.example/img", "a.example", False, "Follow", 200, "image/png",
+     None, None, b"\x89PNG"),
+    ("http://a.example/h", "a.example", False, "Head", 200, "text/html",
+     None, None, b"<html>head</html>"),
+    ("http://a.example/p", "a.example", False, "Follow", 200,
+     "text/html; charset=utf-8", None, None, b"<html>ok</html>"),
+    ("http://a.example/gz", "a.example", False, "Follow", 200, "text/html",
+     "gzip", None, b"\x1f\x8b fakegz"),
+    ("http://a.example/robots.txt", "a.example", False, "Load", 404,
+     "text/html", None, None, b"not found"),
+]
+
+
+def _py_expected(cfg):
+    out = []
+    for (url, host, rf, target, status, ct, ce, loc, html) in CASES:
+        h, rd, wr = HS.io_metrics(
+            url=url, host=host, user_agent=cfg.user_agent,
+            resolve_failed=rf, target=target, status=status,
+            content_type=ct, content_encoding=ce, location=loc,
+            body_len=len(html) if html is not None else None,
+            accepted_content_types=cfg.accepted_content_types,
+        )
+        out.append((url, h, rd, wr))
+    return out
+
+
+def test_column_matches_python(spark):
+    import pandas as pd
+
+    cfg = CrawlConfig()
+    pdf = pd.DataFrame(
+        CASES,
+        columns=["url", "host", "resolve_failed", "target", "status",
+                 "content_type", "content_encoding", "location", "html"],
+    )
+    sdf = spark.createDataFrame(
+        pdf,
+        schema=("url string, host string, resolve_failed boolean, "
+                "target string, status int, content_type string, "
+                "content_encoding string, location string, html binary"),
+    )
+    h, rd, wr = HS.with_io_columns(sdf, cfg)
+    got = {
+        r["url"]: (r["headers"], r["read_size"], r["write_size"])
+        for r in sdf.select(
+            "url", h.alias("headers"), rd.alias("read_size"),
+            wr.alias("write_size")
+        ).collect()
+    }
+    for url, eh, erd, ewr in _py_expected(cfg):
+        gh, grd, gwr = got[url]
+        assert (gh or None) == (eh or None), url
+        assert grd == erd, url
+        assert gwr == ewr, url
+    # sanity on absolute values: request head formula
+    assert got["http://a.example/p"][2] == HS.request_size(
+        "http://a.example/p", "a.example", cfg.user_agent
+    )
+    # processed row reads head + body
+    hdrs = got["http://a.example/p"][0]
+    assert got["http://a.example/p"][1] == HS.head_size(hdrs) + len(
+        b"<html>ok</html>"
+    )
+    assert hdrs["content-length"] == str(len(b"<html>ok</html>"))
+    assert hdrs["server"] == HS.SERVER
+
+
+def test_engine_sim_io_parity(spark, workdir):
+    """headers/read_size/write_size byte-identical engine vs simulator on a
+    corpus with redirects, robots modes, images, errors."""
+    spec = CorpusSpec(n_hosts=6, base_pages_per_host=14, seed=42)
+    sim, eng = run_both(spark, workdir, spec, CrawlConfig())
+    e = {
+        (r.iter, r.job_id, r.task_seq): (
+            dict(r.headers) if r.headers is not None else None,
+            r.read_size,
+            r.write_size,
+        )
+        for r in eng.io.read("fetch_log").collect()
+    }
+    s = {
+        (r["iter"], r["job_id"], r["task_seq"]): (
+            r["headers"], r["read_size"], r["write_size"])
+        for r in sim.fetch_log
+    }
+    assert e == s
+    # the tap saw real traffic
+    assert sum(v[1] for v in e.values()) > 0
+    assert sum(v[2] for v in e.values()) > 0
+
+
+def test_metrics_byte_tap(spark, workdir):
+    """metrics.bytes_fetched/bytes_sent per iteration == fetch_log sums."""
+    from pyspark.sql import functions as F
+
+    spec = CorpusSpec(n_hosts=4, base_pages_per_host=10, seed=7)
+    _sim, eng = run_both(spark, workdir, spec, CrawlConfig())
+    m = {
+        r.iter: (r.bytes_fetched, r.bytes_sent)
+        for r in eng.flush_metrics().collect()
+    }
+    fl = {
+        r["iter"]: (r["rd"], r["wr"])
+        for r in eng.io.read("fetch_log")
+        .groupBy("iter")
+        .agg(F.sum("read_size").alias("rd"), F.sum("write_size").alias("wr"))
+        .collect()
+    }
+    for it, (rd, wr) in fl.items():
+        assert m[it] == (rd, wr), it
