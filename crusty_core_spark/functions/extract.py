@@ -235,16 +235,18 @@ def _extract_batches(
     expanders=None,
     user_extract=None,
     user_cols: list[str] | None = None,
+    parser=None,
 ) -> Iterator[pd.DataFrame]:
     if expanders is None:
         from crusty_core_spark.operators.expanders import DEFAULT_EXPANDERS
 
         expanders = DEFAULT_EXPANDERS
+    parse = parser or extract_document
 
     for pdf in batches:
         encs = pdf[enc_col] if enc_col and enc_col in pdf else None
         rows = [
-            extract_document(h, encs.iloc[i] if encs is not None else None)
+            parse(h, encs.iloc[i] if encs is not None else None)
             for i, h in enumerate(pdf[html_col].tolist())
         ]
         out = pdf.drop(columns=[html_col])
@@ -330,6 +332,7 @@ def extract_pages_canonical(
     expanders=None,
     user_extract=None,
     user_schema: T.StructType | str | None = None,
+    parser=None,
 ) -> DataFrame:
     """Fused parse + expand + canonicalize: one Python crossing.
 
@@ -337,9 +340,14 @@ def extract_pages_canonical(
     stripped/sorted-params, carrying rel/alt/text/target, unparseable hrefs
     dropped) alongside title/text. ``expanders`` is the
     task_expanders::Expander list (operators/expanders.py; default
-    FollowLinks). ``user_extract(doc, task) -> dict`` is the custom-parser /
-    TS-analogue hook — its ``user_schema`` columns land on the output (and on
-    fetch_log when run through the engine)."""
+    FollowLinks). ``user_extract(doc, task) -> dict`` is the TS-analogue
+    hook — its ``user_schema`` columns land on the output (and on fetch_log
+    when run through the engine). ``parser`` swaps the document parser
+    itself (reference ``DocumentParser<P>`` types.rs:11, exercised by
+    examples/simple-custom-parser): a picklable
+    ``parser(html_bytes, content_encoding) -> {"title","text","links",
+    "images"}`` replacing the pinned HTML extractor — expanders and
+    user_extract then run over ITS output."""
     if enc_col is not None and enc_col not in df.columns:
         enc_col = None
     if isinstance(user_schema, str):
@@ -357,7 +365,8 @@ def extract_pages_canonical(
     )
     return df.mapInPandas(
         lambda it: _extract_batches(
-            it, html_col, enc_col, base_col, expanders, user_extract, user_cols
+            it, html_col, enc_col, base_col, expanders, user_extract,
+            user_cols, parser
         ),
         schema=out_schema,
     )

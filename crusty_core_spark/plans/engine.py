@@ -78,6 +78,7 @@ class CrawlEngine:
         custom_status_filters: tuple = (),
         custom_load_filters: tuple = (),
         fetcher=None,
+        parser=None,
     ):
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
@@ -100,6 +101,11 @@ class CrawlEngine:
         #: fetch_log rows (reference DocumentParser<P> + TaskStateValues)
         self.user_extract = user_extract
         self.user_extract_schema = user_extract_schema
+        #: DocumentParser<P> analogue (types.rs:11; examples/
+        #: simple-custom-parser): picklable parser(html_bytes, enc) ->
+        #: {"title","text","links","images"} replacing the pinned HTML
+        #: extractor; expanders/user_extract run over its output
+        self.parser = parser
         #: status_filters::Filter / load_filters::Filter analogues —
         #: picklable (status, content_type, url, depth) -> None | "term:X" /
         #: (status, content_type, body, url, depth) -> None | "term:X";
@@ -383,6 +389,7 @@ class CrawlEngine:
             expanders=self.expanders,
             user_extract=self.user_extract,
             user_schema=self.user_extract_schema,
+            parser=self.parser,
         ).persist()
         barrier(parsed, "extract")
 

@@ -319,6 +319,7 @@ def step_local(engine, it: int) -> dict:
             _extract_batches(
                 iter([parse_pdf]), "html", "content_encoding", "url",
                 engine.expanders, engine.user_extract, user_cols,
+                getattr(engine, "parser", None),
             )
         )
     else:

@@ -80,6 +80,7 @@ class ReferenceSimulator:
         user_extract=None,
         custom_status_filters: tuple = (),
         custom_load_filters: tuple = (),
+        parser=None,
     ):
         self.pages = pages
         self.seeds = seeds
@@ -94,6 +95,9 @@ class ReferenceSimulator:
             expanders = DEFAULT_EXPANDERS
         self.expanders = tuple(expanders)
         self.user_extract = user_extract
+        #: DocumentParser<P> analogue — same hook as CrawlEngine(parser=...);
+        #: receives the RAW body + content_encoding, exactly like the engine
+        self.parser = parser
         self.custom_status_filters = tuple(custom_status_filters)
         self.custom_load_filters = tuple(custom_load_filters)
 
@@ -319,7 +323,13 @@ class ReferenceSimulator:
                     # (select_task_expanders.rs; functions/extract.py) —
                     # skipped in soft-timeout drain mode
                     if cand.target in FOLLOW_TARGETS and not drain:
-                        doc = extract_document(body)
+                        if self.parser is not None:
+                            doc = self.parser(
+                                bytes(page.get("html") or b""),
+                                page.get("content_encoding"),
+                            )
+                        else:
+                            doc = extract_document(body)
                         title = doc["title"]
                         tinfo = {"url": cand.url, "depth": cand.depth}
                         if self.user_extract is not None:

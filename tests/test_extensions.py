@@ -43,6 +43,7 @@ def run_both(spark, workdir, cfg, **ext):
         user_extract_schema=ext.get("user_extract_schema"),
         custom_status_filters=ext.get("custom_status_filters", ()),
         custom_load_filters=ext.get("custom_load_filters", ()),
+        parser=ext.get("parser"),
     )
     eng.seed(seeds)
     eng.run()
@@ -205,3 +206,47 @@ def test_soft_timeout_drain_parity(spark, workdir):
     assert "SoftTimeout" in reasons
     # engine drained: run() terminated with an empty frontier
     assert eng.pending_count() == 0
+
+
+def markdownish_parser(html: bytes, content_encoding=None) -> dict:
+    """Custom DocumentParser (types.rs:11; examples/simple-custom-parser):
+    byte-level regex extraction instead of the pinned HTML parser — title
+    uppercased, only /page/ links followed, no images, text is a digest."""
+    import re
+
+    from crusty_core_spark.functions.extract import decode_body
+
+    body = decode_body(bytes(html or b""), content_encoding)
+    s = body.decode("utf-8", errors="replace")
+    m = re.search(r"<title>(.*?)</title>", s, re.S)
+    title = (m.group(1).strip().upper() if m else None)
+    links = [
+        {"href": h, "rel": "", "alt": "", "text": ""}
+        for h in re.findall(r'href="([^"]+)"', s)
+        if "/page/" in h
+    ]
+    return {"title": title, "text": f"digest:{len(s)}", "links": links,
+            "images": []}
+
+
+def test_custom_document_parser_parity(spark, workdir):
+    """Swapping the document parser changes what gets crawled — and the
+    engine and simulator must change IDENTICALLY (crawl order, url_seen,
+    lineage, titles)."""
+    cfg = CrawlConfig()
+    sim, eng = run_both(spark, workdir, cfg, parser=markdownish_parser)
+    assert_parity(sim, eng)
+    # the custom parser actually drove extraction: titles are uppercased
+    titles = [
+        r.title
+        for r in eng.io.read("fetch_log").select("title").collect()
+        if r.title
+    ]
+    assert titles and all(t == t.upper() for t in titles)
+    # and only /page/ links were ever scheduled beyond the roots
+    urls = [
+        r.url for r in eng.io.read("fetch_log").select("url", "depth")
+        .filter("depth > 0").collect()
+    ]
+    assert urls and all("/page/" in u or u.endswith("/robots.txt")
+                        for u in urls)
