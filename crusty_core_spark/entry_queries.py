@@ -884,7 +884,7 @@ def q33(spark, sf):
 
 # version-tagged: bump when the fetch_log schema changes so a cached
 # materialization from an older code version is never reused
-_CRAWL_ORACLE_ROOT = "/dev/shm/crusty_entry_crawl_v2"
+_CRAWL_ORACLE_ROOT = "/dev/shm/crusty_entry_crawl_v4"
 
 
 def _crawl_output_dir(sf: str) -> str:
@@ -910,15 +910,20 @@ def _ensure_crawl_output(spark, sf) -> str:
     shutil.rmtree(out, ignore_errors=True)
     pages = _crawl_corpus_from_documents(spark, sf)
     wd = tempfile.mkdtemp(prefix="entry_crawl_oracle_")
-    cfg = CrawlConfig(page_budget=10, max_iterations=3)
+    # budget 6 over 6 iterations: jobs exhaust their budget and finish →
+    # job_log gains real Finished rows (q37) while the crawl stays bounded
+    cfg = CrawlConfig(page_budget=6, max_iterations=6)
     eng = CrawlEngine(spark, pages, wd, cfg)
     eng.seed([(j, f"http://h{j}.example/doc/{j * 25}") for j in range(6)])
-    eng.run(max_iterations=3)
+    eng.run(max_iterations=6)
     eng.io.read("fetch_log").coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out, "fetch_log")
     )
     eng.lineage_df().coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out, "lineage")
+    )
+    eng.job_log_df().coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "job_log")
     )
     shutil.rmtree(wd, ignore_errors=True)
     with open(os.path.join(out, "_done"), "w") as f:
@@ -1039,6 +1044,36 @@ def q36(spark, sf):
         F.max(
             F.element_at("headers", "content-length").cast("long")
         ).alias("max_clen"),
+    )
+
+
+@q(
+    "q37_crawl_job_log",
+    f"""
+    SELECT reason,
+           CAST(count(*) AS BIGINT) AS n_jobs,
+           CAST(sum(budget_used) AS BIGINT) AS sum_budget,
+           CAST(sum(resp_counter) AS BIGINT) AS sum_resps,
+           CAST(max(seq_counter) AS BIGINT) AS max_seq,
+           CAST(min(iter) AS BIGINT) AS first_iter,
+           CAST(max(iter) AS BIGINT) AS last_iter
+    FROM read_parquet('{_CRAWL01}/job_log/*.parquet')
+    GROUP BY reason
+    """,
+)
+def q37(spark, sf):
+    """Per-job Finished records (task_scheduler.rs:158-167, JobStatus
+    types.rs:325-328): completion reasons + final counters over the
+    materialized crawl's job_log, hash-checked vs DuckDB."""
+    out = _ensure_crawl_output(spark, sf)
+    jl = spark.read.parquet(f"{out}/job_log")
+    return jl.groupBy("reason").agg(
+        F.count("*").alias("n_jobs"),
+        F.sum("budget_used").alias("sum_budget"),
+        F.sum("resp_counter").alias("sum_resps"),
+        F.max("seq_counter").alias("max_seq"),
+        F.min("iter").alias("first_iter"),
+        F.max("iter").alias("last_iter"),
     )
 
 
