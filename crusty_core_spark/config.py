@@ -55,13 +55,24 @@ class CrawlConfig:
     #: Spark job for the pages fetch-join, pyarrow table commits). Tail/thin
     #: iterations otherwise pay multi-stage Spark job latency for hundreds of
     #: rows — the same pathology a 1000-executor cluster has. 0/None disables.
-    local_iter_threshold: int | None = 3000
+    local_iter_threshold: int | None = 20000
+    #: fork-pool width for the driver-local path's parallel extract and
+    #: per-bucket chain folds (plans/local_step.py). None → min(16, cpus).
+    #: 1 disables multiprocessing (always serial kernels).
+    local_workers: int | None = None
     #: per-candidate scheduling-decision rows in the chain log. True →
     #: full audit trail (one row per candidate per filter decision); False →
     #: per-bucket action counters only (the 5-10× larger candidate stream
     #: never crosses back out of the chain stage — the big-bench mode)
     sched_log_detail: bool = True
     seed: int = 42
+
+    def resolved_local_workers(self) -> int:
+        if self.local_workers is not None:
+            return max(1, int(self.local_workers))
+        import os
+
+        return min(16, os.cpu_count() or 8)
 
     def to_dict(self) -> dict:
         d = asdict(self)

@@ -122,6 +122,12 @@ class CrawlEngine:
         #: exactly how the reference's network fetch costs O(ready). The
         #: distributed path always uses the pages join (the batch analogue).
         self.fetcher = fetcher
+        # fork + warm the local-path worker pool at construction — the
+        # one-time fork/COW/import cost is setup (like JVM startup), never
+        # part of a crawl iteration
+        from crusty_core_spark.plans.local_step import warm_pool
+
+        warm_pool(self.cfg)
         self.io = TableIO(spark, workdir)
 
     # ------------------------------------------------------------------ seed

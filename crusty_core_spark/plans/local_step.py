@@ -61,6 +61,97 @@ _TASK_SLICE = ["job_id", "task_seq", "url", "host", "depth", "redirect",
                "parent_seq", "link_pos", "priority"]
 
 
+# ------------------------------------------------------------------ mp pool
+#
+# Medium-width local iterations are dominated by two pure-python stages:
+# html extraction (~0.6 ms/page) and the per-job chain fold. Both are
+# embarrassingly parallel (per page / per job-bucket), so a fork-based
+# process pool runs them across cores WITHOUT Spark's per-job floor —
+# this is what lets the local path own iterations up to tens of thousands
+# of rows. Workers are module-level (picklable by reference); extension
+# callables ride in the pickled args, so a try-pickle guard falls back to
+# the serial path for non-picklable (e.g. closure-defined) extensions.
+
+_POOL = None
+_POOL_N = None
+
+
+def _get_pool(n: int):
+    global _POOL, _POOL_N
+    if _POOL is not None and _POOL_N == n:
+        return _POOL
+    if _POOL is not None:
+        _POOL.terminate()
+    import multiprocessing as mp
+
+    _POOL = mp.get_context("fork").Pool(n)
+    _POOL_N = n
+    return _POOL
+
+
+def _pool_warm(_):
+    """Run a small REAL extraction in the child: imports the hot modules,
+    grows the allocator past the first-touch page-fault regime, and JITs
+    nothing (python) but primes every code path the real tasks hit."""
+    import pandas as pd
+
+    from crusty_core_spark.functions.extract import _extract_batches
+
+    html = (
+        b"<html><head><title>warm</title></head><body>"
+        + b'<p>word </p><a href="/a">a</a><img src="/i.png" alt="x"/>' * 40
+        + b"</body></html>"
+    )
+    pdf = pd.DataFrame(
+        {
+            "url": [f"http://warm.example/{i}" for i in range(64)],
+            "depth": [0] * 64,
+            "html": [html] * 64,
+            "content_encoding": [None] * 64,
+        }
+    )
+    next(_extract_batches(iter([pdf]), "html", "content_encoding", "url"))
+    return 0
+
+
+def warm_pool(cfg) -> None:
+    """Fork + warm the local-path worker pool NOW (engine construction) so
+    the one-time fork/COW/import cost never lands inside a crawl
+    iteration. No-op when the local path or multiprocessing is disabled."""
+    if not cfg.local_iter_threshold:
+        return
+    n = cfg.resolved_local_workers()
+    if n <= 1:
+        return
+    _get_pool(n).map(_pool_warm, range(n))
+
+
+def _picklable(*objs) -> bool:
+    import pickle
+
+    try:
+        pickle.dumps(objs)
+        return True
+    except Exception:
+        return False
+
+
+def _extract_worker(args):
+    pdf, expanders, user_extract, user_cols, parser = args
+    return next(
+        _extract_batches(
+            iter([pdf]), "html", "content_encoding", "url",
+            expanders, user_extract, user_cols, parser,
+        )
+    )
+
+
+def _chain_worker(args):
+    cfg, filters, drain, key, left, right = args
+    fn = make_chain_fn(cfg, filters, drain)
+    return fn((key,), left, right)
+
+
 def _url_host(u: str | None) -> str | None:
     """Python twin of functions.canonicalize.url_host for canonical URLs."""
     if u is None:
@@ -183,7 +274,25 @@ def _none(v):
 
 
 def step_local(engine, it: int) -> dict:
-    """One crawl iteration on the driver; same contract as CrawlEngine.step."""
+    """One crawl iteration on the driver; same contract as CrawlEngine.step.
+
+    Cyclic GC is paused for the duration: a wide iteration churns hundreds
+    of thousands of short-lived dicts/rows, and the generational collector's
+    full-heap scans over that population dominate wall time. Nothing in the
+    row pipeline forms reference cycles — refcounting reclaims everything —
+    so pausing collection is safe and collection is NOT forced afterwards."""
+    import gc
+
+    gc_was_enabled = gc.isenabled()
+    gc.disable()
+    try:
+        return _step_local_inner(engine, it)
+    finally:
+        if gc_was_enabled:
+            gc.enable()
+
+
+def _step_local_inner(engine, it: int) -> dict:
     t0 = time.time()
     cfg = engine.cfg
     io = engine.io
@@ -301,6 +410,7 @@ def step_local(engine, it: int) -> dict:
     ]
     if drain:
         to_parse = []
+    n_workers = cfg.resolved_local_workers()
     if to_parse:
         parse_pdf = pd.DataFrame(
             [
@@ -315,13 +425,29 @@ def step_local(engine, it: int) -> dict:
                 for r in to_parse
             ]
         )
-        parsed = next(
-            _extract_batches(
-                iter([parse_pdf]), "html", "content_encoding", "url",
-                engine.expanders, engine.user_extract, user_cols,
-                getattr(engine, "parser", None),
+        ext_args = (engine.expanders, engine.user_extract, user_cols,
+                    getattr(engine, "parser", None))
+        if (
+            n_workers > 1
+            and len(parse_pdf) >= 256
+            and _picklable(*ext_args)
+        ):
+            import numpy as np
+
+            chunks = [
+                c for c in np.array_split(parse_pdf, n_workers) if len(c)
+            ]
+            parts = _get_pool(n_workers).map(
+                _extract_worker, [(c, *ext_args) for c in chunks]
             )
-        )
+            parsed = pd.concat(parts, ignore_index=True)
+        else:
+            parsed = next(
+                _extract_batches(
+                    iter([parse_pdf]), "html", "content_encoding", "url",
+                    *ext_args,
+                )
+            )
     else:
         parsed = pd.DataFrame(
             columns=["job_id", "task_seq", "url", "depth", "title", "text",
@@ -459,12 +585,40 @@ def step_local(engine, it: int) -> dict:
             }
         )
     chain_in = pd.DataFrame(chain_in_rows, columns=_CHAIN_IN_COLS)
-    fn = make_chain_fn(cfg, engine.custom_task_filters, drain)
-    # ONE fold call: bucketing exists only for cluster parallelism — jobs are
-    # processed independently inside bucket_fn, so a single call over all
-    # buckets' rows produces the identical per-job output (row order in the
-    # appended log differs, which nothing depends on: every consumer sorts)
-    chain_out = fn((0,), chain_in, states)
+    # Jobs are processed independently inside bucket_fn, so ANY partition of
+    # the rows by job produces the identical per-job output (row order in
+    # the appended log differs, which nothing depends on: every consumer
+    # sorts). Serial: one fold call. Wide iterations: per-bucket folds
+    # across the fork pool — the same bucketing the Spark cogroup uses.
+    if (
+        n_workers > 1
+        and len(chain_in) >= 2000
+        and _picklable(engine.custom_task_filters)
+    ):
+        # one fold call per WORKER (not per bucket): jobs are independent,
+        # so any job-disjoint partition of the rows is valid — n_workers
+        # coarse chunks keep the pickle/transfer overhead at n_workers
+        # round-trips instead of N_JOB_BUCKETS
+        in_g = chain_in["job_id"].astype("int64") % n_workers
+        st_g = (
+            states["job_id"].astype("int64") % n_workers
+            if len(states) else None
+        )
+        tasks = [
+            (cfg, engine.custom_task_filters, drain, g,
+             chain_in[in_g == g],
+             states[st_g == g] if st_g is not None else states.iloc[0:0])
+            for g in range(n_workers)
+        ]
+        parts = _get_pool(n_workers).map(_chain_worker, tasks)
+        parts = [p for p in parts if len(p)]
+        chain_out = (
+            pd.concat(parts, ignore_index=True)
+            if parts else pd.DataFrame(columns=S.CHAIN_OUT_COLS)
+        )
+    else:
+        fn = make_chain_fn(cfg, engine.custom_task_filters, drain)
+        chain_out = fn((0,), chain_in, states)
     if not len(chain_out):
         chain_out = pd.DataFrame(columns=S.CHAIN_OUT_COLS)
     mark("chain")
