@@ -72,7 +72,11 @@ class CrawlConfig:
             return max(1, int(self.local_workers))
         import os
 
-        return min(16, os.cpu_count() or 8)
+        try:  # respect CPU pinning (taskset) — not the box's total count
+            n = len(os.sched_getaffinity(0))
+        except AttributeError:
+            n = os.cpu_count() or 8
+        return min(16, n)
 
     def to_dict(self) -> dict:
         d = asdict(self)
