@@ -45,7 +45,11 @@ class CrawlConfig:
     n_bloom_shards: int = 64
     bloom_bits_per_shard: int = 1 << 20  # 128 KiB per shard at test scale
     bloom_num_hashes: int = 5
-    hot_host_salt_threshold: int = 10_000  # ready rows per host before salting
+    #: pending-frontier size above which the politeness rank switches to the
+    #: exact two-phase salted top-k (plans/engine.py step) so one hot
+    #: domain's due set cannot pin a whole window partition on one task;
+    #: 0/None disables the salted path
+    hot_host_salt_threshold: int | None = 10_000
     #: include title/n_links on fetch_log rows (costs two joins per
     #: iteration); crawl ordering/actions are complete either way
     fetch_log_detail: bool = True

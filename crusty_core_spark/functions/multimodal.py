@@ -90,12 +90,19 @@ def _real_decode_unavailable(payload: bytes) -> np.ndarray:
 
 
 _DECODER: Callable[[bytes], np.ndarray] = _fake_decode_image
+_DECODER_BATCHED = False
 
 
-def set_decoder(fn: Callable[[bytes], np.ndarray]) -> None:
-    """Swap the decode kernel (e.g. a PIL-based one on a real cluster)."""
-    global _DECODER
+def set_decoder(fn: Callable, batched: bool = False) -> None:
+    """Swap the decode kernel (e.g. a PIL-based one on a real cluster).
+
+    With ``batched=True`` the kernel receives the whole Arrow batch's
+    payloads as ``list[bytes]`` and returns ``list[np.ndarray | None]`` —
+    one call per batch, so a vectorized/GPU decoder amortizes its launch
+    cost instead of paying it per row."""
+    global _DECODER, _DECODER_BATCHED
     _DECODER = fn
+    _DECODER_BATCHED = batched
 
 
 FEATURE_DIM = 32
@@ -116,39 +123,46 @@ def extract_media_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                payload = bytes(r.payload) if r.payload is not None else b""
-                mtype, fmt = sniff_media(payload)
-                try:
-                    arr = _DECODER(payload)
-                except NotImplementedError:
-                    arr = None
+            payloads = [
+                bytes(p) if p is not None else b"" for p in pdf["payload"]
+            ]
+            sniffed = [sniff_media(p) for p in payloads]
+            # decode: one batch call when the kernel supports it (GPU/SIMD
+            # decoders amortize launch cost per Arrow batch), else per item
+            if _DECODER_BATCHED:
+                arrays = _DECODER(payloads)
+            else:
+                arrays = []
+                for p in payloads:
+                    try:
+                        arrays.append(_DECODER(p))
+                    except NotImplementedError:
+                        arrays.append(None)
+            feats, dims = [], []
+            for arr in arrays:
                 if arr is None:
-                    feat = [0.0] * FEATURE_DIM
-                    h = w = c = 0
+                    feats.append([0.0] * FEATURE_DIM)
+                    dims.append((0, 0, 0))
                 else:
                     flat = arr.astype(np.float32).ravel()
                     # 32 bucket means — deterministic, shape-independent
                     buckets = np.array_split(flat, FEATURE_DIM)
-                    feat = [float(b.mean()) if len(b) else 0.0 for b in buckets]
+                    feats.append(
+                        [float(b.mean()) if len(b) else 0.0 for b in buckets]
+                    )
                     h, w, c = (list(arr.shape) + [1, 1, 1])[:3]
-                rows.append(
-                    {
-                        "media_id": r.media_id,
-                        "url": r.url,
-                        "media_type": mtype,
-                        "format": fmt,
-                        "height": int(h),
-                        "width": int(w),
-                        "channels": int(c),
-                        "feature": feat,
-                    }
-                )
+                    dims.append((int(h), int(w), int(c)))
             yield pd.DataFrame(
-                rows,
-                columns=["media_id", "url", "media_type", "format", "height",
-                         "width", "channels", "feature"],
+                {
+                    "media_id": pdf["media_id"].values,
+                    "url": pdf["url"].values,
+                    "media_type": [s[0] for s in sniffed],
+                    "format": [s[1] for s in sniffed],
+                    "height": [d[0] for d in dims],
+                    "width": [d[1] for d in dims],
+                    "channels": [d[2] for d in dims],
+                    "feature": feats,
+                }
             )
 
     return df.mapInPandas(stage, schema=FEATURES_DDL)

@@ -45,14 +45,26 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
+    max_broadcast_queries: int = 100_000,
 ) -> DataFrame:
     """Exact cosine top-k per query (rank ties broken by neighbor id).
 
     queries columns: (query_id, qvec). Plan: broadcast the query side,
     score every vector, window-rank per query. Cosine is rounded to 6
     decimals BEFORE ranking so ordering is stable across engines.
+
+    Broadcast guard: a query side above ``max_broadcast_queries`` rows is
+    NOT broadcast (it would pin Q×dim floats in every executor) — the join
+    falls back to Spark's own strategy choice. A large query set should use
+    ``ivf_probe_topk`` instead; brute force is the correctness baseline.
     """
-    scored = vectors.join(F.broadcast(queries)).filter(
+    q = queries
+    if max_broadcast_queries and (
+        queries.limit(max_broadcast_queries + 1).count()
+        <= max_broadcast_queries
+    ):
+        q = F.broadcast(queries)
+    scored = vectors.join(q).filter(
         F.col(id_col) != F.col("query_id")
     ).select(
         "query_id",

@@ -255,7 +255,8 @@ class CrawlEngine:
         def barrier(df, label):
             if deep:
                 n = df.count()
-                marks.append((f"{label}[{n}]", time.time()))
+                p = df.rdd.getNumPartitions()
+                marks.append((f"{label}[{n}r/{p}p]", time.time()))
             return df
 
         t0 = time.time()
@@ -280,11 +281,46 @@ class CrawlEngine:
             due = pending.filter(F.col("next_fetch_iter") <= it)
             not_due = pending.filter(F.col("next_fetch_iter") > it)
             w = W.partitionBy("job_id", "host").orderBy("priority", "task_seq")
-            ranked = due.withColumn("_rn", F.row_number().over(w))
-            ready = ranked.filter(F.col("_rn") <= per_host).drop("_rn")
-            remaining = not_due.unionByName(
-                ranked.filter(F.col("_rn") > per_host).drop("_rn")
-            )
+            salt_thr = cfg.hot_host_salt_threshold
+            if salt_thr and int(self.io.state.get("pending", 0)) > salt_thr:
+                # hot-domain skew guard: at frontier scale one domain can
+                # hold millions of due URLs, and a single window partition
+                # would pin that host's whole rank on one task. Exact
+                # two-phase top-k instead: rank within (host, salt) and keep
+                # per_host survivors per salt — any global top-per_host row
+                # has < per_host rows above it, hence < per_host above it
+                # within its own salt, so the survivor set is a superset —
+                # then re-rank the <= per_host*n_salts survivors per host.
+                # Phase 1 bounds any task's partition to ~|host|/n_salts;
+                # phase 2 ranks a constant-size set. Same (priority,
+                # task_seq) total order, so selection is bit-identical.
+                n_salts = 16
+                ranked = due.withColumn(
+                    "_salt", F.pmod(F.col("task_seq"), F.lit(n_salts))
+                ).withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        W.partitionBy("job_id", "host", "_salt")
+                        .orderBy("priority", "task_seq")
+                    ),
+                )
+                rejects1 = ranked.filter(F.col("_rn") > per_host).drop(
+                    "_rn", "_salt"
+                )
+                survivors = ranked.filter(F.col("_rn") <= per_host).drop(
+                    "_rn", "_salt"
+                )
+                ranked2 = survivors.withColumn("_rn", F.row_number().over(w))
+                ready = ranked2.filter(F.col("_rn") <= per_host).drop("_rn")
+                remaining = not_due.unionByName(rejects1).unionByName(
+                    ranked2.filter(F.col("_rn") > per_host).drop("_rn")
+                )
+            else:
+                ranked = due.withColumn("_rn", F.row_number().over(w))
+                ready = ranked.filter(F.col("_rn") <= per_host).drop("_rn")
+                remaining = not_due.unionByName(
+                    ranked.filter(F.col("_rn") > per_host).drop("_rn")
+                )
         else:
             ready = pending
             remaining = None

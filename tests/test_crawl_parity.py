@@ -111,3 +111,17 @@ def test_parity_no_robots(spark, workdir):
     cfg = CrawlConfig(robots_txt=False)
     sim, eng = run_both(spark, workdir, spec, cfg)
     assert_parity(sim, eng)
+
+
+def test_parity_salted_politeness(spark, workdir):
+    """Hot-host skew: the salted two-phase politeness top-k (engine step,
+    hot_host_salt_threshold) must select the bit-identical ready set as the
+    plain window rank — parity vs the simulator on a zipf-skewed corpus,
+    with the distributed path forced (local_iter_threshold=0) and the salt
+    threshold at 1 so every iteration exercises the salted rank."""
+    spec = CorpusSpec(n_hosts=4, base_pages_per_host=8,
+                      zipf_hot_host_factor=6, seed=31)
+    cfg = CrawlConfig(delay_ms=1000, concurrency_per_host=2,
+                      hot_host_salt_threshold=1, local_iter_threshold=0)
+    sim, eng = run_both(spark, workdir, spec, cfg)
+    assert_parity(sim, eng)

@@ -250,3 +250,27 @@ def test_custom_document_parser_parity(spark, workdir):
     ]
     assert urls and all("/page/" in u or u.endswith("/robots.txt")
                         for u in urls)
+
+
+def test_builder_registration_surface(spark, workdir):
+    """CrawlRulesBuilder (plans/builder.py) — the CrawlingRules fluent twin
+    (crawler.rs:60-105) — must produce an engine identical to the kwargs
+    construction: parity vs the simulator with the same registrations."""
+    from crusty_core_spark.plans.builder import CrawlRulesBuilder
+
+    cfg = CrawlConfig()
+    rows, seeds = gen_corpus(SPEC)
+    sim = ReferenceSimulator(
+        {r["url"]: r for r in rows}, seeds, cfg,
+        expanders=(X.follow_links, X.load_images),
+        custom_status_filters=(status_code_range(200, 399),),
+    ).run()
+    eng = (
+        CrawlRulesBuilder(spark, pages_df(spark, rows), workdir, cfg)
+        .with_task_expander(X.load_images)
+        .with_status_filter(status_code_range(200, 399))
+        .build()
+    )
+    eng.seed(seeds)
+    eng.run()
+    assert_parity(sim, eng)
