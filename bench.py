@@ -85,7 +85,8 @@ def bench_crawl(spark, n_hosts, pages_per_host, max_iters):
     # join reuses the exchange (the 100 TB analogue is an Iceberg table
     # bucketed by url_host — storage-side co-location instead of a cache)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    pages = spark.read.parquet(pages_path).repartition(n_part, "url").persist()
+    pages = (spark.read.parquet(pages_path)
+             .repartition(n_part, "url").sortWithinPartitions("url").persist())
     n_pages = pages.count()
     gen_s = time.time() - t0
 

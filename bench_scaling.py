@@ -70,7 +70,7 @@ n_exec, pages_path, shm, n_hosts, max_iters, n_runs = sys.argv[1:7]
 cores = int(n_exec) * 4
 spark = get_spark(
     app_name="scale%sx4" % n_exec,
-    master="local-cluster[%s,4,9216]" % n_exec,
+    master="local-cluster[%s,4,16384]" % n_exec,
     # MUST equal the pages cache's partition count: the fetch equi-join then
     # reuses the cached HashPartitioning(url) and only the thin ready side
     # shuffles per iteration — mismatched counts would re-shuffle the whole
@@ -78,7 +78,7 @@ spark = get_spark(
     shuffle_partitions=cores,
     extra_conf={
         "spark.local.dir": shm + "/spark_local%s" % n_exec,
-        "spark.executor.memory": "8g",
+        "spark.executor.memory": "14g",
         "spark.executorEnv.PYTHONPATH": "/root/repo",
         "spark.sql.adaptive.coalescePartitions.enabled": "false",
     },
@@ -181,8 +181,8 @@ def main():
     result = {
         "corpus_pages": n_pages,
         "n_hosts": n_hosts,
-        "topology": "local-cluster[1,4,9216] (N=1 executor x 4 cores, "
-                    "taskset 0-3) vs local-cluster[4,4,9216] (4N=4 "
+        "topology": "local-cluster[1,4,16384] (N=1 executor x 4 cores, "
+                    "taskset 0-3) vs local-cluster[4,4,16384] (4N=4 "
                     "executors x 4 cores, taskset 0-15); identical "
                     "per-executor resources",
         "methodology": "taskset-pinned CPUs, tmpfs I/O, full-size untimed "
