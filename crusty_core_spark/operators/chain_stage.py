@@ -231,7 +231,16 @@ def make_chain_fn(cfg, custom_filters: tuple = (), drain: bool = False):
             frames.append(df)
         if not frames:
             return pd.DataFrame(columns=CHAIN_OUT_COLS)
-        out = pd.concat(frames, ignore_index=True)
+        # frames carry different column subsets (per row_kind), so concat
+        # sees all-NA columns and pandas warns about future dtype inference
+        # changes; the result always passes through the explicit CHAIN_OUT
+        # Arrow schema downstream, so either inference is fine — silence the
+        # FutureWarning instead of paying an object-dtype conversion here
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", FutureWarning)
+            out = pd.concat(frames, ignore_index=True)
         return out.reindex(columns=CHAIN_OUT_COLS)
 
     return bucket_fn
