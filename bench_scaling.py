@@ -58,6 +58,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SHM = "/dev/shm/crusty_bench"
 
+# single source of truth for the executor topology — the runner's master
+# string, executor memory, AND the recorded topology label all derive from
+# these (committed artifacts must be reproducible from the script at HEAD)
+EXEC_CORES = 4
+EXEC_MEM_MB = 16384   # local-cluster worker memory (MB)
+EXEC_HEAP_MB = 14336  # spark.executor.memory — headroom below worker mem
+
 RUNNER = r"""
 import sys, json, time, tempfile, os
 sys.path.insert(0, "/root/repo")
@@ -67,10 +74,13 @@ from crusty_core_spark.plans.engine import CrawlEngine
 from crusty_core_spark.sources.datagen import CorpusSpec, host_name
 
 n_exec, pages_path, shm, n_hosts, max_iters, n_runs = sys.argv[1:7]
-cores = int(n_exec) * 4
+exec_cores = int(os.environ["SCALE_EXEC_CORES"])
+exec_mem_mb = int(os.environ["SCALE_EXEC_MEM_MB"])
+exec_heap_mb = int(os.environ["SCALE_EXEC_HEAP_MB"])
+cores = int(n_exec) * exec_cores
 spark = get_spark(
-    app_name="scale%sx4" % n_exec,
-    master="local-cluster[%s,4,16384]" % n_exec,
+    app_name="scale%sx%s" % (n_exec, exec_cores),
+    master="local-cluster[%s,%s,%s]" % (n_exec, exec_cores, exec_mem_mb),
     # MUST equal the pages cache's partition count: the fetch equi-join then
     # reuses the cached HashPartitioning(url) and only the thin ready side
     # shuffles per iteration — mismatched counts would re-shuffle the whole
@@ -78,7 +88,7 @@ spark = get_spark(
     shuffle_partitions=cores,
     extra_conf={
         "spark.local.dir": shm + "/spark_local%s" % n_exec,
-        "spark.executor.memory": "14g",
+        "spark.executor.memory": "%sm" % exec_heap_mb,
         "spark.executorEnv.PYTHONPATH": "/root/repo",
         "spark.sql.adaptive.coalescePartitions.enabled": "false",
     },
@@ -137,6 +147,10 @@ def run_level(n_exec: int, cpu_list: str, pages_path: str, n_hosts: int,
          str(n_exec), pages_path, SHM, str(n_hosts), str(max_iters),
          str(n_runs)],
         capture_output=True, text=True, timeout=5400,
+        env={**os.environ,
+             "SCALE_EXEC_CORES": str(EXEC_CORES),
+             "SCALE_EXEC_MEM_MB": str(EXEC_MEM_MB),
+             "SCALE_EXEC_HEAP_MB": str(EXEC_HEAP_MB)},
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -181,16 +195,22 @@ def main():
     result = {
         "corpus_pages": n_pages,
         "n_hosts": n_hosts,
-        "topology": "local-cluster[1,4,16384] (N=1 executor x 4 cores, "
-                    "taskset 0-3) vs local-cluster[4,4,16384] (4N=4 "
-                    "executors x 4 cores, taskset 0-15); identical "
-                    "per-executor resources",
+        "topology": (
+            "local-cluster[1,%d,%d] (N=1 executor x %d cores, taskset 0-3) "
+            "vs local-cluster[4,%d,%d] (4N=4 executors x %d cores, taskset "
+            "0-15); spark.executor.memory=%dm; identical per-executor "
+            "resources" % (EXEC_CORES, EXEC_MEM_MB, EXEC_CORES,
+                           EXEC_CORES, EXEC_MEM_MB, EXEC_CORES,
+                           EXEC_HEAP_MB)
+        ),
         "methodology": "taskset-pinned CPUs, tmpfs I/O, full-size untimed "
                        "warmup per level, median of %d runs, per-run steal "
                        "jiffies recorded" % n_runs,
-        "N": {"executors": 1, "cores": 4, "median_urls_per_sec": med1,
+        "N": {"executors": 1, "cores": EXEC_CORES,
+              "median_urls_per_sec": med1,
               "best_urls_per_sec": best1, "runs": r1["runs"]},
-        "4N": {"executors": 4, "cores": 16, "median_urls_per_sec": med4,
+        "4N": {"executors": 4, "cores": 4 * EXEC_CORES,
+               "median_urls_per_sec": med4,
                "best_urls_per_sec": best4, "runs": r4["runs"]},
         "scaling_efficiency": round(eff, 3),
         "scaling_efficiency_best": round((best4 / best1) / 4, 3),

@@ -608,7 +608,9 @@ def q18(spark, sf):
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    return V.brute_force_topk(e, queries, k=3)
+    # query side is 5 rows by construction — assert smallness, skip the
+    # guard's extra count action
+    return V.brute_force_topk(e, queries, k=3, broadcast_queries=True)
 
 
 @q(
@@ -783,7 +785,14 @@ def q30(spark, sf):
     eng = CrawlEngine(spark, pages, wd, cfg)
     eng.seed([(j, f"http://h{j}.example/doc/{j * 25}") for j in range(6)])
     eng.run(max_iterations=3)
-    return eng.io.read("fetch_log").orderBy("job_id", "task_seq")
+    # The harness canonicalizes results via a pandas sort; map columns arrive
+    # as Python dicts (unhashable) and break it, so serialize headers to JSON.
+    # q36 already hash-checks header *contents* against the oracle.
+    return (
+        eng.io.read("fetch_log")
+        .withColumn("headers", F.to_json("headers"))
+        .orderBy("job_id", "task_seq")
+    )
 
 
 @q(
@@ -1077,14 +1086,33 @@ def q37(spark, sf):
     )
 
 
-@q("q31_media_features", None)
-def q31(spark, sf):
-    """Multimodal plumbing over synthetic media derived from documents:
-    binary payloads + typed metadata → sniff → decode(stub) → features.
-    Deterministic fake decode (functions/multimodal.py) → rows-only check."""
+# version-tagged like the crawl oracle: the fake decode is deterministic
+# pure Python, so its OUTPUT is plain data — materialize it once per sf and
+# hash-check aggregates in DuckDB over the very same parquet files.
+_MEDIA_ORACLE_ROOT = "/dev/shm/crusty_entry_media_v1"
+
+
+def _media_output_dir(sf: str) -> str:
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf))
+    return f"{_MEDIA_ORACLE_ROOT}_{tag}"
+
+
+def _ensure_media_output(spark, sf) -> str:
+    """Build synthetic media from documents (deterministic: doc_id < 200),
+    run the sniff→decode(fake)→feature mapInPandas stage, and materialize
+    the full row-level features table for DuckDB to read."""
+    import os
+    import shutil
+
     from crusty_core_spark.functions import multimodal as M
 
-    d = _t(spark, sf, "documents").limit(200)
+    out = _media_output_dir(sf)
+    if os.path.exists(os.path.join(out, "_done")):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
     magic = (
         F.when(F.col("doc_id") % 3 == 0, F.lit(b"\x89PNG\r\n"))
         .when(F.col("doc_id") % 3 == 1, F.lit(b"\xff\xd8\xff\xe0"))
@@ -1101,8 +1129,45 @@ def q31(spark, sf):
             F.length("text").cast("long").alias("bytes"),
         ).alias("meta"),
     )
-    feats = M.extract_media_features(media)
+    M.extract_media_features(media).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "features"))
+    with open(os.path.join(out, "_done"), "w") as f:
+        f.write("ok")
+    return out
+
+
+_MEDIA01 = _media_output_dir("/root/testdata/sf0.01")
+
+
+@q(
+    "q31_media_features",
+    f"""
+    SELECT media_type, format, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(media_id) AS BIGINT) AS sum_ids,
+           CAST(max(height) AS INTEGER) AS max_h,
+           CAST(max(width) AS INTEGER) AS max_w,
+           CAST(max(channels) AS INTEGER) AS max_c,
+           ROUND(avg(feature[1]), 4) AS avg_f0,
+           ROUND(sum(feature[32]), 4) AS sum_f31
+    FROM read_parquet('{_MEDIA01}/features/*.parquet')
+    GROUP BY media_type, format
+    """,
+)
+def q31(spark, sf):
+    """Multimodal plumbing over synthetic media derived from documents:
+    binary payloads + typed metadata → sniff → decode(stub) → features
+    (functions/multimodal.py, mapInPandas). The fake decode is deterministic,
+    so the materialized output is hash-checked against DuckDB reading the
+    same parquet — same upgrade q32-q37 got for the crawl output."""
+    out = _ensure_media_output(spark, sf)
+    feats = spark.read.parquet(f"{out}/features")
     return feats.groupBy("media_type", "format").agg(
         F.count("*").alias("n"),
+        F.sum("media_id").alias("sum_ids"),
+        F.max("height").alias("max_h"),
+        F.max("width").alias("max_w"),
+        F.max("channels").alias("max_c"),
         F.round(F.avg(F.element_at("feature", 1)), 4).alias("avg_f0"),
+        F.round(F.sum(F.element_at("feature", 32)), 4).alias("sum_f31"),
     )

@@ -130,7 +130,17 @@ def extract_media_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
             # decode: one batch call when the kernel supports it (GPU/SIMD
             # decoders amortize launch cost per Arrow batch), else per item
             if _DECODER_BATCHED:
-                arrays = _DECODER(payloads)
+                try:
+                    arrays = _DECODER(payloads)
+                except NotImplementedError:
+                    # same degradation as the per-item path: a kernel that
+                    # can't run here None-fills the batch (zero features)
+                    arrays = [None] * len(payloads)
+                if len(arrays) != len(payloads):
+                    raise ValueError(
+                        f"batched media decoder {_DECODER!r} returned "
+                        f"{len(arrays)} results for {len(payloads)} payloads"
+                    )
             else:
                 arrays = []
                 for p in payloads:

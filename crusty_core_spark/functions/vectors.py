@@ -45,7 +45,8 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
-    max_broadcast_queries: int = 100_000,
+    max_broadcast_queries: int | None = 100_000,
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query (rank ties broken by neighbor id).
 
@@ -57,9 +58,17 @@ def brute_force_topk(
     NOT broadcast (it would pin Q×dim floats in every executor) — the join
     falls back to Spark's own strategy choice. A large query set should use
     ``ivf_probe_topk`` instead; brute force is the correctness baseline.
+
+    The guard costs one extra count action; callers that already know the
+    query side's size can skip it with ``broadcast_queries=True`` (always
+    broadcast, no count) or ``False`` (never broadcast). With the default
+    ``None``, the size check runs; ``max_broadcast_queries`` of 0/None
+    means "never broadcast" (guard disabled entirely, no count either).
     """
     q = queries
-    if max_broadcast_queries and (
+    if broadcast_queries is True:
+        q = F.broadcast(queries)
+    elif broadcast_queries is None and max_broadcast_queries and (
         queries.limit(max_broadcast_queries + 1).count()
         <= max_broadcast_queries
     ):

@@ -78,13 +78,18 @@ class CrawlRulesBuilder:
 
     def with_task_expander(self, fn) -> "CrawlRulesBuilder":
         """task_expanders::Expander analogue (operators/expanders.py):
-        (doc, task) -> list of link dicts scheduled as new tasks. The
-        first registration replaces the implicit FollowLinks default with
-        an explicit list, exactly like CrawlingRulesOptions."""
-        if self._expanders is None:
-            from crusty_core_spark.operators import expanders as E
+        (doc, task) -> list of link dicts scheduled as new tasks.
 
-            self._expanders = [E.follow_links]
+        Matches the reference exactly (crawler.rs:60-105): CrawlingRules
+        starts with an EMPTY expander list and every example registers
+        FollowLinks explicitly — so the first registration here makes the
+        list fully explicit (no implicit follow_links). Register
+        ``expanders.follow_links`` yourself to follow links; an expander
+        set without link-following (e.g. a pure DataExtractor) is
+        expressible. An engine built with NO with_task_expander calls keeps
+        the engine-level default (DEFAULT_EXPANDERS = follow_links)."""
+        if self._expanders is None:
+            self._expanders = []
         self._expanders.append(fn)
         return self
 

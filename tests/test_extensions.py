@@ -267,6 +267,9 @@ def test_builder_registration_surface(spark, workdir):
     ).run()
     eng = (
         CrawlRulesBuilder(spark, pages_df(spark, rows), workdir, cfg)
+        # reference semantics: registering any expander makes the list fully
+        # explicit, so FollowLinks is registered explicitly like crawler.rs
+        .with_task_expander(X.follow_links)
         .with_task_expander(X.load_images)
         .with_status_filter(status_code_range(200, 399))
         .build()
@@ -274,3 +277,33 @@ def test_builder_registration_surface(spark, workdir):
     eng.seed(seeds)
     eng.run()
     assert_parity(sim, eng)
+
+
+def test_builder_expander_list_fully_explicit(spark, workdir):
+    """Registering an expander must NOT keep an implicit FollowLinks
+    (crawler.rs: CrawlingRules starts with an empty expander list; the
+    simple-custom-parser example registers only non-following expanders).
+    An images-only crawl follows no <a href> links: parity vs the
+    simulator with the same single-expander set."""
+    from crusty_core_spark.plans.builder import CrawlRulesBuilder
+
+    cfg = CrawlConfig()
+    rows, seeds = gen_corpus(SPEC)
+    sim = ReferenceSimulator(
+        {r["url"]: r for r in rows}, seeds, cfg,
+        expanders=(X.load_images,),
+    ).run()
+    eng = (
+        CrawlRulesBuilder(spark, pages_df(spark, rows), workdir, cfg)
+        .with_task_expander(X.load_images)
+        .build()
+    )
+    eng.seed(seeds)
+    eng.run()
+    assert_parity(sim, eng)
+    # no Follow-target rows beyond the seeds themselves: links not followed
+    log = eng.io.read("fetch_log")
+    followed = log.filter(
+        (log.target == "Follow") & (log.depth > 0)
+    ).count()
+    assert followed == 0
