@@ -126,7 +126,11 @@ def bench_crawl(spark, n_hosts, pages_per_host, max_iters):
     for i in range(n_timed):
         eng = CrawlEngine(
             spark, pages, os.path.join(tmp, f"wd{i}"),
-            CrawlConfig(fetch_log_detail=False, sched_log_detail=False),
+            # threshold measured per session (Spark job floor × local
+            # kernel throughput), so the local/distributed crossover is
+            # data, not a constant tuned to one VM
+            CrawlConfig(fetch_log_detail=False, sched_log_detail=False,
+                        local_iter_threshold="auto"),
             fetcher=fetcher,
         )
         t0 = time.time()
@@ -137,7 +141,10 @@ def bench_crawl(spark, n_hosts, pages_per_host, max_iters):
         seen = eng.url_seen_df().count()
         runs.append({"crawl_sec": round(wall, 2), "iterations":
                      stats["iterations"], "urls_processed": processed,
-                     "url_seen": seen})
+                     "url_seen": seen,
+                     "local_iters": stats["local_iters"],
+                     "dist_iters": stats["dist_iters"],
+                     "local_thr_resolved": eng.local_thr})
     for r in runs[1:]:  # determinism gate
         assert r["urls_processed"] == runs[0]["urls_processed"]
         assert r["url_seen"] == runs[0]["url_seen"]
@@ -152,6 +159,10 @@ def bench_crawl(spark, n_hosts, pages_per_host, max_iters):
         "url_seen": best["url_seen"],
         "urls_per_sec": round(best["urls_processed"] / best["crawl_sec"], 2),
         "crawl_runs": [r["crawl_sec"] for r in runs],
+        # headline attribution: which execution path ran the iterations
+        "local_iters": best["local_iters"],
+        "dist_iters": best["dist_iters"],
+        "local_thr_resolved": best["local_thr_resolved"],
         "timing": "best of %d runs (noisy-host mitigation)" % n_timed,
     }
 

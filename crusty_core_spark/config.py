@@ -35,6 +35,12 @@ class CrawlConfig:
     robots_txt: bool = True
     www_allow: bool = True
     user_agent: str = "spark-crawl/0"
+    #: custom request headers sent with every fetch (reference
+    #: CrawlingSettings.custom_headers, main/src/config.rs:305-312 —
+    #: HashMap<String, Vec<String>>): (name, value) pairs, a name may
+    #: repeat (multi-valued). Each pair adds one ``k: v\r\n`` line to the
+    #: simulated request head and thus to write_size.
+    custom_headers: tuple[tuple[str, str], ...] = ()
     #: soft-timeout drain (task_scheduler.rs:134-157): after this many
     #: iterations the crawl stops EXPANDING (no parse/schedule of new links)
     #: but keeps draining already-scheduled tasks; None = no soft timeout
@@ -58,8 +64,12 @@ class CrawlConfig:
     #: bucket fold, extract/expand, canonicalize, xxhash64 Bloom — one small
     #: Spark job for the pages fetch-join, pyarrow table commits). Tail/thin
     #: iterations otherwise pay multi-stage Spark job latency for hundreds of
-    #: rows — the same pathology a 1000-executor cluster has. 0/None disables.
-    local_iter_threshold: int | None = 20000
+    #: rows — the same pathology a 1000-executor cluster has. 0/None disables;
+    #: "auto" measures the crossover per session at engine construction
+    #: (Spark job floor × local kernel throughput — see
+    #: CrawlEngine._calibrate_threshold) instead of trusting a constant
+    #: tuned to one machine's driver.
+    local_iter_threshold: int | None | str = 20000
     #: fork-pool width for the driver-local path's parallel extract and
     #: per-bucket chain folds (plans/local_step.py). None → min(16, cpus).
     #: 1 disables multiprocessing (always serial kernels).
@@ -69,6 +79,13 @@ class CrawlConfig:
     #: per-bucket action counters only (the 5-10× larger candidate stream
     #: never crosses back out of the chain stage — the big-bench mode)
     sched_log_detail: bool = True
+    #: size-triggered compaction for append-only tables (url_seen/chain/
+    #: fetch_log/job_log): when a partition's (or an append table's) file
+    #: count exceeds this, it is rewritten into one file (TableIO
+    #: compact_partitions/compact_appends — the Iceberg rewrite_data_files
+    #: analogue). Bounds the per-file open cost that would otherwise grow
+    #: one file per touching iteration forever. 0/None disables.
+    compact_max_files: int | None = 64
     seed: int = 42
 
     def resolved_local_workers(self) -> int:
@@ -85,12 +102,16 @@ class CrawlConfig:
     def to_dict(self) -> dict:
         d = asdict(self)
         d["accepted_content_types"] = list(self.accepted_content_types)
+        d["custom_headers"] = [list(p) for p in self.custom_headers]
         return d
 
     @staticmethod
     def from_dict(d: dict) -> "CrawlConfig":
         d = dict(d)
         d["accepted_content_types"] = tuple(d.get("accepted_content_types", ()))
+        d["custom_headers"] = tuple(
+            tuple(p) for p in d.get("custom_headers", ())
+        )
         return CrawlConfig(**d)
 
 

@@ -893,7 +893,7 @@ def q33(spark, sf):
 
 # version-tagged: bump when the fetch_log schema changes so a cached
 # materialization from an older code version is never reused
-_CRAWL_ORACLE_ROOT = "/dev/shm/crusty_entry_crawl_v4"
+_CRAWL_ORACLE_ROOT = "/dev/shm/crusty_entry_crawl_v5"
 
 
 def _crawl_output_dir(sf: str) -> str:
@@ -1021,12 +1021,12 @@ def q35(spark, sf):
     "q36_crawl_io_tap",
     f"""
     SELECT action,
-           headers['content-type'][1] AS content_type_hdr,
+           headers['content-type'][1][1] AS content_type_hdr,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(read_size) AS BIGINT) AS sum_read,
            CAST(sum(write_size) AS BIGINT) AS sum_written,
            CAST(sum(cardinality(headers)) AS BIGINT) AS sum_hdrs,
-           CAST(max(CAST(headers['content-length'][1] AS BIGINT)) AS BIGINT)
+           CAST(max(CAST(headers['content-length'][1][1] AS BIGINT)) AS BIGINT)
                AS max_clen
     FROM read_parquet('{_CRAWL01}/fetch_log/*.parquet')
     GROUP BY action, content_type_hdr
@@ -1042,7 +1042,11 @@ def q36(spark, sf):
     log = spark.read.parquet(f"{out}/fetch_log")
     return log.groupBy(
         "action",
-        F.element_at("headers", "content-type").alias("content_type_hdr"),
+        # header values are arrays (HeaderMap is multi-valued); the
+        # simulated origin emits one value per name → element 1
+        F.element_at(F.element_at("headers", "content-type"), 1).alias(
+            "content_type_hdr"
+        ),
     ).agg(
         F.count("*").alias("n"),
         F.sum("read_size").alias("sum_read"),
@@ -1051,7 +1055,9 @@ def q36(spark, sf):
             F.when(F.col("headers").isNotNull(), F.size("headers"))
         ).alias("sum_hdrs"),
         F.max(
-            F.element_at("headers", "content-length").cast("long")
+            F.element_at(
+                F.element_at("headers", "content-length"), 1
+            ).cast("long")
         ).alias("max_clen"),
     )
 

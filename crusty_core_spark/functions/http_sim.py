@@ -6,10 +6,14 @@ reference simulator, so all three emit byte-identical fetch_log columns.
 Models the reference's per-request records:
 
 - ``HttpStatus.headers`` (reference ``main/src/types.rs:233-239``,
-  ``HeaderMap`` types.rs:212-231) → ``headers map<string,string>`` on
-  fetch_log. The simulated origin serves ``server``, ``content-type``,
-  ``content-length``, ``content-encoding`` (when the page row declares
-  one) and ``location`` (on redirects); null-valued entries are omitted.
+  ``HeaderMap`` types.rs:212-231 — ``HashMap<String, Vec<String>>``, i.e.
+  MULTI-VALUED) → ``headers map<string,array<string>>`` on fetch_log. The
+  simulated origin serves ``server``, ``content-type``, ``content-length``,
+  ``content-encoding`` (when the page row declares one) and ``location``
+  (on redirects); null-valued entries are omitted. Each simulated header is
+  single-valued today, but the schema and the byte accounting support
+  repeats (one ``k: v␍␊`` wire line per value, exactly how HTTP serializes
+  a repeated header).
 - ``LoadMetrics.read_size`` / ``write_size`` byte tap
   (``main/src/types.rs:248-253``; counted at the socket by
   ``CountingStream``, ``main/src/hyper_utils.rs:14-50``) →
@@ -21,14 +25,17 @@ Models the reference's per-request records:
 
   * ``write_size`` = length of the simulated request head
     ``GET <url> HTTP/1.1␍␊Host: <host>␍␊User-Agent: <ua>␍␊``
-    ``Accept-Encoding: gzip, deflate␍␊␍␊``
+    ``Accept-Encoding: gzip, deflate␍␊`` + one ``k: v␍␊`` line per
+    configured custom request header (``cfg.custom_headers`` — the
+    reference sends ``CrawlingSettings.custom_headers`` on every request,
+    ``main/src/config.rs:305-312``) + final ``␍␊``
   * ``read_size`` = len(``HTTP/1.1 NNN␍␊``) + serialized header bytes
-    (``k: v␍␊`` each) + final ``␍␊`` + body bytes — body bytes counted
-    only when the pipeline actually loads the body (page exists, not a
-    redirect, content-type accepted, target loads: task_processor.rs
-    status stage vs load stage). ResolveError / JustResolveDNS rows
-    never connect → 0/0 with a null header map; HttpError (connected,
-    no response) counts the request write only.
+    (``k: v␍␊`` per value) + final ``␍␊`` + body bytes — body bytes
+    counted only when the pipeline actually loads the body (page exists,
+    not a redirect, content-type accepted, target loads:
+    task_processor.rs status stage vs load stage). ResolveError /
+    JustResolveDNS rows never connect → 0/0 with a null header map;
+    HttpError (connected, no response) counts the request write only.
 
 The body-read decision is taken from the BUILT-IN status
 classification, before custom status/load filters run — all three
@@ -53,35 +60,50 @@ REQ_FIXED = len(_REQ_TEMPLATE.format(u="", h="", a=""))
 STATUS_LINE = len("HTTP/1.1 ") + 3 + 2
 
 
+def custom_header_bytes(custom_headers) -> int:
+    """Wire bytes the configured custom request headers add to every
+    request head: one ``k: v\\r\\n`` line per (name, value) pair."""
+    return sum(len(k) + len(v) + 4 for k, v in custom_headers)
+
+
 # ------------------------------------------------------------------ python
 
-def request_size(url: str, host: str, user_agent: str) -> int:
-    return REQ_FIXED + len(url) + len(host) + len(user_agent)
+def request_size(url: str, host: str, user_agent: str,
+                 custom_headers=()) -> int:
+    return (
+        REQ_FIXED + len(url) + len(host) + len(user_agent)
+        + custom_header_bytes(custom_headers)
+    )
 
 
 def response_headers(
     content_type, content_encoding, location, body_len, is_redirect
 ) -> dict:
-    """Simulated origin response headers; insertion order is fixed and
+    """Simulated origin response headers (name → list of values, matching
+    HeaderMap's HashMap<String, Vec<String>>); insertion order is fixed and
     mirrored by the Column builder (map key order is not semantically
     relevant but keeping them identical makes byte-level diffs trivial)."""
-    h = {"server": SERVER}
+    h = {"server": [SERVER]}
     if content_type is not None:
-        h["content-type"] = content_type
+        h["content-type"] = [content_type]
     if body_len is not None:
-        h["content-length"] = str(body_len)
+        h["content-length"] = [str(body_len)]
     if content_encoding is not None:
-        h["content-encoding"] = content_encoding
+        h["content-encoding"] = [content_encoding]
     if is_redirect and location is not None:
-        h["location"] = location
+        h["location"] = [location]
     return h
 
 
 def head_size(headers: dict) -> int:
-    """Status line + ``k: v\\r\\n`` per header + terminating CRLF."""
+    """Status line + ``k: v\\r\\n`` per header VALUE + terminating CRLF."""
     return (
         STATUS_LINE
-        + sum(len(k) + len(v) + 4 for k, v in headers.items())
+        + sum(
+            len(k) + len(v) + 4
+            for k, vs in headers.items()
+            for v in vs
+        )
         + 2
     )
 
@@ -99,12 +121,13 @@ def io_metrics(
     location,
     body_len,
     accepted_content_types,
+    custom_headers=(),
 ):
     """(headers|None, read_size, write_size) for one fetch row — the
     python mirror of :func:`with_io_columns`."""
     if resolve_failed or target == "JustResolveDNS":
         return None, 0, 0
-    wr = request_size(url, host, user_agent)
+    wr = request_size(url, host, user_agent, custom_headers)
     if status is None:
         return None, 0, wr
     status = int(status)
@@ -141,24 +164,36 @@ def with_io_columns(df, cfg) -> "tuple[Column, Column, Column]":
     )
     got_resp = connected & F.col("status").isNotNull()
 
-    # fixed entry order matching response_headers(); null values dropped
+    # fixed entry order matching response_headers(); null-valued entries
+    # dropped (a present header always has >=1 value, so the value arrays
+    # are null-or-nonempty, never [null])
+    def _val(cond, col):
+        return F.when(cond, F.array(col)).alias("value")
+
     entries = F.array(
-        F.struct(F.lit("server").alias("key"), F.lit(SERVER).alias("value")),
+        F.struct(
+            F.lit("server").alias("key"),
+            F.array(F.lit(SERVER)).alias("value"),
+        ),
         F.struct(
             F.lit("content-type").alias("key"),
-            F.col("content_type").alias("value"),
+            _val(F.col("content_type").isNotNull(), F.col("content_type")),
         ),
         F.struct(
             F.lit("content-length").alias("key"),
-            body_len.cast("string").alias("value"),
+            _val(body_len.isNotNull(), body_len.cast("string")),
         ),
         F.struct(
             F.lit("content-encoding").alias("key"),
-            F.col("content_encoding").alias("value"),
+            _val(
+                F.col("content_encoding").isNotNull(),
+                F.col("content_encoding"),
+            ),
         ),
         F.struct(
             F.lit("location").alias("key"),
-            F.when(is_redirect, F.col("location")).alias("value"),
+            _val(is_redirect & F.col("location").isNotNull(),
+                 F.col("location")),
         ),
     )
     headers = F.when(
@@ -170,16 +205,23 @@ def with_io_columns(df, cfg) -> "tuple[Column, Column, Column]":
 
     write_size = F.when(
         connected,
-        F.lit(REQ_FIXED)
+        F.lit(REQ_FIXED + custom_header_bytes(cfg.custom_headers))
         + F.length("url")
         + F.length("host")
         + F.lit(len(cfg.user_agent)),
     ).otherwise(F.lit(0)).cast("long")
 
+    # one k: v\r\n line per VALUE (multi-valued headers serialize as
+    # repeated lines on the wire)
     hdr_bytes = F.aggregate(
         F.map_entries(headers),
         F.lit(STATUS_LINE + 2),
-        lambda acc, e: acc + F.length(e["key"]) + F.length(e["value"]) + 4,
+        lambda acc, e: acc
+        + F.aggregate(
+            e["value"],
+            F.lit(0),
+            lambda a, v: a + F.length(e["key"]) + F.length(v) + F.lit(4),
+        ),
     )
     ct_ok = F.lit(False)
     for a in cfg.accepted_content_types:

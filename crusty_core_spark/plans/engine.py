@@ -82,9 +82,20 @@ class CrawlEngine:
     ):
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
-        self.pages = pages.select(
-            *[c for c in PAGE_COLS if c in pages.columns]
-        )
+        #: pages=None → live-crawl mode: no pre-materialized corpus; the
+        #: registered fetcher IS the network (distributed mapInPandas fetch
+        #: stage, see _fetch_stage)
+        if pages is None:
+            if fetcher is None:
+                raise ValueError(
+                    "CrawlEngine needs a pages table or a fetcher "
+                    "(pages=None requires with_fetcher)"
+                )
+            self.pages = None
+        else:
+            self.pages = pages.select(
+                *[c for c in PAGE_COLS if c in pages.columns]
+            )
         #: optional DNS dim table (host, addrs) — broadcast-joined per
         #: iteration with the reserved-IP blacklist (operators/resolve.py)
         self.hosts = hosts
@@ -114,13 +125,19 @@ class CrawlEngine:
         self.custom_status_filters = tuple(custom_status_filters)
         self.custom_load_filters = tuple(custom_load_filters)
         #: optional point-fetch client — the analogue of the reference's
-        #: HTTP client (main/src/hyper_utils.rs): ``fetcher(urls: list[str])
-        #: -> pandas.DataFrame`` with columns (url, html, status, location,
+        #: HTTP client (main/src/hyper_utils.rs, client factory
+        #: crawler.rs:189-245): ``fetcher(urls: list[str]) ->
+        #: pandas.DataFrame`` with columns (url, html, status, location,
         #: content_type, content_encoding); urls absent from the result are
         #: fetch failures (HttpError). The driver-local thin-iteration path
         #: uses it for O(ready) lookups instead of an O(corpus) join scan —
-        #: exactly how the reference's network fetch costs O(ready). The
-        #: distributed path always uses the pages join (the batch analogue).
+        #: exactly how the reference's network fetch costs O(ready). With a
+        #: pages table the distributed path uses the pages join (the batch
+        #: analogue); with pages=None the fetcher runs INSIDE the
+        #: distributed plan as an Arrow-batched mapInPandas stage
+        #: (_fetch_stage) — each executor batch fetches its own URLs, so a
+        #: real deployment crawls sources that were never materialized as a
+        #: table (the client must be cloudpickle-able).
         self.fetcher = fetcher
         # fork + warm the local-path worker pool at construction — the
         # one-time fork/COW/import cost is setup (like JVM startup), never
@@ -128,7 +145,69 @@ class CrawlEngine:
         from crusty_core_spark.plans.local_step import warm_pool
 
         warm_pool(self.cfg)
+        #: resolved local/distributed crossover (rows). "auto" measures it
+        #: per session — the constant default is tuned to one machine's
+        #: driver and a real cluster's small driver node needs a smaller
+        #: value (calibration happens at construction, never mid-crawl)
+        if self.cfg.local_iter_threshold == "auto":
+            self.local_thr: int | None = self._calibrate_threshold()
+        else:
+            self.local_thr = self.cfg.local_iter_threshold
         self.io = TableIO(spark, workdir)
+
+    def _calibrate_threshold(self) -> int:
+        """Measure the local/distributed crossover for THIS session.
+
+        The local path wins while an iteration's python work costs less
+        than the distributed plan's fixed floor, so the crossover is
+        (fixed floor seconds) × (local path rows/sec):
+
+        - floor: a distributed iteration issues ~8 independent Spark jobs
+          (fetch+persist materialization, the counts collect, the parallel
+          table writers); each pays scheduler/launch latency measured here
+          with a minimal 2-stage shuffle job (min of 3, after one warmup).
+        - local throughput: the html-extract kernel dominates the local
+          path; timed on synthetic ~3 KB pages, scaled by the fork-pool
+          width × 0.7 (measured pool efficiency ceiling, BENCH.md).
+
+        Clamped to [2_000, 100_000]; resolved once at construction (VERDICT
+        r2 #5 — data over constants)."""
+        import pandas as pd
+
+        def spark_job():
+            t0 = time.time()
+            self.spark.range(0, 1024, 1, 8).groupBy(
+                (F.col("id") % 8).alias("g")
+            ).count().collect()
+            return time.time() - t0
+
+        spark_job()  # warm the scheduler/codegen path
+        floor_s = min(spark_job() for _ in range(3))
+
+        from crusty_core_spark.functions.extract import _extract_batches
+
+        html = (
+            b"<html><head><title>cal</title></head><body>"
+            + b'<p>lorem ipsum dolor </p><a href="/x">x</a>' * 60
+            + b"</body></html>"
+        )
+        n_rows = 96
+        pdf = pd.DataFrame(
+            {
+                "url": [f"http://cal.example/{i}" for i in range(n_rows)],
+                "depth": [0] * n_rows,
+                "html": [html] * n_rows,
+                "content_encoding": [None] * n_rows,
+            }
+        )
+        t0 = time.time()
+        next(_extract_batches(iter([pdf]), "html", "content_encoding", "url"))
+        per_row_s = max(time.time() - t0, 1e-6) / n_rows
+        workers = self.cfg.resolved_local_workers()
+        local_rows_per_s = (1.0 / per_row_s) * max(1, workers) * 0.7
+        n_jobs_per_iter = 8
+        thr = int(floor_s * n_jobs_per_iter * local_rows_per_s)
+        return max(2_000, min(100_000, thr))
 
     # ------------------------------------------------------------------ seed
 
@@ -238,11 +317,13 @@ class CrawlEngine:
         commits; fat iterations run the distributed plan below."""
         import os
 
-        thr = self.cfg.local_iter_threshold
+        thr = self.local_thr
         if thr and 0 < int(self.io.state.get("pending", 0)) <= int(thr):
             from crusty_core_spark.plans.local_step import step_local
 
+            self._last_step_local = True
             return step_local(self, int(self.io.state["iter"]) + 1)
+        self._last_step_local = False
 
         prof = os.environ.get("SPARK_CRAWL_PROFILE", "0") != "0"
         deep = os.environ.get("SPARK_CRAWL_PROFILE") == "2"
@@ -357,7 +438,7 @@ class CrawlEngine:
         from crusty_core_spark.operators.resolve import resolve_ready
 
         ready = resolve_ready(ready, self.hosts)
-        fetched = ready.join(self.pages, on="url", how="left")
+        fetched = self._fetch_stage(ready)
 
         # --- status filters + size cap, as bulk masks (exact stage order:
         #     Redirect → ContentType → size; status_filters.rs, task_processor.rs:60-80)
@@ -692,6 +773,7 @@ class CrawlEngine:
             new_buckets = sorted(
                 set(self.io.state.get("pending_buckets") or []) | set(new_buckets)
             )
+        self._maybe_compact()
         self.io.set_state(iter=it, pending=pending,
                           pending_buckets=sorted(new_buckets))
         self.io.checkpoint(f"iter-{it:06d}")
@@ -703,6 +785,81 @@ class CrawlEngine:
             }
             print(f"[profile] iter={it} ready={n_ready} {deltas}", flush=True)
         return counts
+
+    def _fetch_stage(self, ready: DataFrame) -> DataFrame:
+        """One logical fetch (reference task_processor.rs:128-208), two
+        physical strategies:
+
+        - pages table present (the batch/sandbox contract): equi-join
+          against the bucketed pages table — with the table cached
+          hash-partitioned + sorted on url, only the thin ready side
+          shuffles per iteration.
+        - pages=None (live-crawl mode): the registered point-fetch client
+          runs as an Arrow-batched ``mapInPandas`` stage — every executor
+          partition fetches its own ready URLs (the reference's per-task
+          HTTP fetch re-expressed as a vectorized stage; client factory
+          crawler.rs:189-245). Resolve-failed rows never reach the client.
+        """
+        if self.pages is not None:
+            return ready.join(self.pages, on="url", how="left")
+
+        import pandas as pd
+        from pyspark.sql import types as PT
+
+        fetcher = self.fetcher
+        page_fields = PT.StructType.fromDDL(
+            "html binary, status int, location string, "
+            "content_type string, content_encoding string"
+        )
+        out_schema = PT.StructType(
+            list(ready.schema.fields) + list(page_fields.fields)
+        )
+        cols = [f.name for f in out_schema.fields]
+        page_cols = [f.name for f in page_fields.fields]
+
+        def fetch_batches(batches):
+            for pdf in batches:
+                urls = sorted(
+                    {
+                        u
+                        for u, rf in zip(pdf["url"], pdf["resolve_failed"])
+                        if not rf
+                    }
+                )
+                res = fetcher(urls) if urls else None
+                if res is None or not len(res):
+                    res = pd.DataFrame(columns=["url", *page_cols])
+                res = res.copy()
+                for c in page_cols:
+                    if c not in res.columns:
+                        res[c] = None
+                out = pdf.merge(
+                    res[["url", *page_cols]], on="url", how="left"
+                )
+                # resolve-failed rows never connected — no page data
+                failed = out["resolve_failed"].astype(bool)
+                if failed.any():
+                    out.loc[failed, page_cols] = None
+                yield out[cols]
+
+        return ready.mapInPandas(fetch_batches, schema=out_schema)
+
+    def _maybe_compact(self) -> None:
+        """Size-triggered compaction of the append-only tables (VERDICT r2
+        #6): decided from the manifest alone (no FS calls), so an
+        iteration that triggers nothing pays nothing. chain keeps its most
+        recent data dir unmerged — _pending_df's read_last_append contract
+        depends on it."""
+        k = self.cfg.compact_max_files
+        if not k:
+            return
+        io = self.io
+        io.compact_partitions("url_seen", k)
+        io.compact_appends("chain", k, keep_last=1)
+        if io.exists("fetch_log"):
+            io.compact_appends("fetch_log", k, keep_last=1)
+        if io.exists("job_log"):
+            io.compact_appends("job_log", k, keep_last=1)
 
     def _apply_custom_fetch_filters(self, fetched: DataFrame) -> DataFrame:
         """status_filters::Filter / load_filters::Filter extension points.
@@ -924,6 +1081,7 @@ class CrawlEngine:
             wall_ms,
             dedup_stats.get("dedup_shards_read", 0),
             dedup_stats.get("dedup_read_bytes", 0),
+            0,  # exec_local: distributed plan
         ]
         buf = list(io.state.get("metrics_buffer", []))
         buf.append(row)
@@ -1002,13 +1160,19 @@ class CrawlEngine:
 
     def run(self, max_iterations: int | None = None) -> dict:
         cap = max_iterations or self.cfg.max_iterations
-        stats = {"iterations": 0, "processed": 0}
+        stats = {"iterations": 0, "processed": 0,
+                 "local_iters": 0, "dist_iters": 0}
         while stats["iterations"] < cap:
             if self.pending_count() == 0:
                 break
             counts = self.step()
             stats["iterations"] += 1
             stats["processed"] += counts.get("processed", 0)
+            key = (
+                "local_iters" if getattr(self, "_last_step_local", False)
+                else "dist_iters"
+            )
+            stats[key] += 1
         self.flush_metrics()
         return stats
 

@@ -225,6 +225,27 @@ def _classify(row, cfg, custom_status, custom_load):
     return action, canon_loc
 
 
+def _hosts_usable_map(engine) -> dict[str, bool]:
+    """host → has-usable-address, from the hosts dim table (driver-cached;
+    the dim is broadcast-size by contract). Python twin of
+    operators.resolve.resolve_ready: host lowered/trimmed, reserved-subnet
+    addresses dropped, resolution fails when nothing usable remains."""
+    m = getattr(engine, "_hosts_usable_cache", None)
+    if m is None:
+        from crusty_core_spark.operators.resolve import ip_blacklisted
+
+        pdf = engine.hosts.select("host", "addrs").toPandas()
+        m = {}
+        for h, addrs in zip(pdf["host"].tolist(), pdf["addrs"].tolist()):
+            usable = [
+                a for a in (addrs if addrs is not None else [])
+                if not ip_blacklisted(a)
+            ]
+            m[str(h).strip().lower()] = bool(usable)
+        engine._hosts_usable_cache = m
+    return m
+
+
 def _seen_sets(io, shards: list[int]) -> dict[int, set]:
     """Per-shard (job_id, url) membership sets for the selected url_seen
     shards — a candidate can only live in its host's shard, so membership
@@ -343,16 +364,37 @@ def _step_local_inner(engine, it: int) -> dict:
         "resolve_failed", "html", "status", "location", "content_type",
         "content_encoding",
     ]
-    if engine.fetcher is not None and engine.hosts is None:
+    page_cols = ("html", "status", "location", "content_type",
+                 "content_encoding")
+    if engine.fetcher is not None and (
+        engine.hosts is None or engine.pages is None
+    ):
         # point-fetch client: O(ready) lookups, zero Spark jobs (the
-        # reference's HTTP fetch is exactly this shape)
-        pages_pd = engine.fetcher(ready["url"].tolist())
-        fetched = ready.merge(pages_pd, on="url", how="left")
-        fetched["resolve_failed"] = False
-        for c in ("html", "status", "location", "content_type",
-                  "content_encoding"):
-            if c not in fetched.columns:
-                fetched[c] = None
+        # reference's HTTP fetch is exactly this shape). With a hosts dim,
+        # resolution runs against a driver-cached usable-host map (the
+        # python twin of operators.resolve.resolve_ready).
+        if engine.hosts is None:
+            rf = pd.Series(False, index=ready.index)
+        else:
+            usable = _hosts_usable_map(engine)
+            rf = ~ready["host"].map(
+                lambda h: usable.get(str(h or "").strip().lower(), False)
+            )
+        fetch_urls = sorted(set(ready["url"][~rf].tolist()))
+        pages_pd = engine.fetcher(fetch_urls)
+        if pages_pd is None or not len(pages_pd):
+            pages_pd = pd.DataFrame(columns=["url", *page_cols])
+        pages_pd = pages_pd.copy()
+        for c in page_cols:
+            if c not in pages_pd.columns:
+                pages_pd[c] = None
+        fetched = ready.merge(
+            pages_pd[["url", *page_cols]], on="url", how="left"
+        )
+        fetched["resolve_failed"] = rf.to_numpy()
+        failed = fetched["resolve_failed"].astype(bool)
+        if failed.any():  # resolve-failed rows never connected
+            fetched.loc[failed, list(page_cols)] = None
         fetched = fetched[fetch_cols]
     else:
         # pandas promotes int columns to float when they ever met a NaN
@@ -643,6 +685,7 @@ def _step_local_inner(engine, it: int) -> dict:
             location=r["location"],
             body_len=len(r["html"]) if r["html"] is not None else None,
             accepted_content_types=cfg.accepted_content_types,
+            custom_headers=cfg.custom_headers,
         )
     if cfg.fetch_log_detail:
         titles = {
@@ -825,6 +868,7 @@ def _step_local_inner(engine, it: int) -> dict:
         int((time.time() - t0) * 1000),
         dedup_stats.get("dedup_shards_read", 0),
         dedup_stats.get("dedup_read_bytes", 0),
+        1,  # exec_local: driver-local fast path
     ]
     buf = list(io.state.get("metrics_buffer", []))
     buf.append(row)
@@ -839,6 +883,7 @@ def _step_local_inner(engine, it: int) -> dict:
         new_buckets = sorted(
             set(io.state.get("pending_buckets") or []) | set(new_buckets)
         )
+    engine._maybe_compact()
     io.set_state(iter=it, pending=pending_next,
                  pending_buckets=sorted(new_buckets))
     io.checkpoint(f"iter-{it:06d}")

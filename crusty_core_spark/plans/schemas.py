@@ -21,10 +21,12 @@ FETCH_LOG = (
     "iter long, job_id long, task_seq long, url string, depth int, "
     "redirect int, target string, marker int, status int, action string, "
     "n_links int, title string, bytes long, wait_iters long, "
-    # HttpStatus.headers (types.rs:233-239) + LoadMetrics read/write byte
-    # tap (types.rs:248-253, hyper_utils.rs CountingStream) — deterministic
-    # simulated values, shared formulas in functions/http_sim.py
-    "headers map<string,string>, read_size long, write_size long"
+    # HttpStatus.headers (types.rs:233-239; HeaderMap types.rs:212-231 is
+    # HashMap<String, Vec<String>> — multi-valued, hence array values) +
+    # LoadMetrics read/write byte tap (types.rs:248-253, hyper_utils.rs
+    # CountingStream) — deterministic simulated values, shared formulas in
+    # functions/http_sim.py
+    "headers map<string,array<string>>, read_size long, write_size long"
 )
 
 JOB_LOG = (
@@ -50,7 +52,10 @@ METRICS = (
     # dedup-backstop scan accounting: shards whose url_seen partitions were
     # read this iteration and the bytes scanned — the O(new-work) evidence
     # (stays flat as history grows instead of tracking total crawled)
-    "dedup_shards_read long, dedup_read_bytes long"
+    "dedup_shards_read long, dedup_read_bytes long, "
+    # which execution path ran the iteration (1 = driver-local fast path,
+    # 0 = distributed plan) — makes throughput numbers attributable
+    "exec_local int"
 )
 
 # chain-stage exchange schemas (operators/chain_stage.py)

@@ -393,6 +393,7 @@ class ReferenceSimulator:
                 len(bytes(page.get("html") or b"")) if page is not None else None
             ),
             accepted_content_types=cfg.accepted_content_types,
+            custom_headers=cfg.custom_headers,
         )
         res.fetch_log.append(
             {

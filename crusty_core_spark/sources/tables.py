@@ -478,6 +478,100 @@ class TableIO:
                 parts[v] = [rel]
             return self._commit_parts(name, parts, spark_schema)
 
+    # ---------- compaction ----------
+    #
+    # Append-only tables gain one file per touching iteration, forever; at
+    # 10^5 iterations the per-file open cost becomes the scan cost. These
+    # rewrite fragmented partitions/dir-lists into single files when their
+    # file count exceeds a threshold (the Iceberg analogue is
+    # rewrite_data_files / bin-packing). Old data dirs are NOT deleted —
+    # prior snapshots and checkpoints keep referencing them (snapshot GC is
+    # a separate lifecycle concern, like Iceberg's expire_snapshots), so a
+    # crash mid-compaction or a rollback is still safe. Rows are rewritten
+    # in read order, so reads return the identical row sequence.
+
+    def _compact_rels_to_dir(self, name: str, rels: list[str]):
+        """Concatenate the parquet files under ``rels`` (in order) into one
+        file in a fresh data dir; returns (new_rel, n_rows)."""
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        with self._lock:
+            t = self._tbl(name)
+            d = f"data-{t['next_dir']:06d}"
+            t["next_dir"] += 1
+        files = []
+        for rel in rels:
+            p = os.path.join(self.root, name, rel)
+            if not os.path.isdir(p):
+                continue
+            files.extend(
+                os.path.join(p, f)
+                for f in sorted(os.listdir(p))
+                if f.endswith(".parquet")
+            )
+        # normalize to the table's declared arrow schema before concat:
+        # Spark-written and pyarrow-written files carry different
+        # field/file metadata that concat_tables would reject
+        arrow = self._arrow_schema(
+            T.StructType.fromJson(self._tbl(name)["schema"])
+        )
+        cols = [f.name for f in arrow]
+        tbl = pa.concat_tables(
+            [pq.read_table(f).select(cols).cast(arrow) for f in files]
+        )
+        path = os.path.join(self.root, name, d)
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(tbl, os.path.join(path, "part-00000.parquet"))
+        return d, tbl.num_rows
+
+    def compact_partitions(self, name: str, max_files: int) -> int | None:
+        """Rewrite every partition whose dir-list exceeds ``max_files``
+        into a single file; untouched partitions keep their dir lists.
+        Returns the new snapshot id, or None if nothing needed compacting
+        (decided from the manifest alone — no filesystem calls)."""
+        with self._lock:
+            parts = self._parts(name)
+            todo = {v: list(rels) for v, rels in parts.items()
+                    if len(rels) > max_files}
+        if not todo:
+            return None
+        written = {}
+        for v, rels in todo.items():
+            d, _ = self._compact_rels_to_dir(name, rels)
+            written[v] = f"{d}"
+        with self._lock:
+            parts = {k: list(vv) for k, vv in self._parts(name).items()}
+            for v, rel in written.items():
+                # the partition may have gained appends while we rewrote —
+                # keep any rels beyond the snapshot we compacted
+                tail = parts[v][len(todo[v]):]
+                parts[v] = [rel] + tail
+            return self._commit_parts(
+                name, parts, T.StructType.fromJson(self._tbl(name)["schema"])
+            )
+
+    def compact_appends(self, name: str, max_dirs: int,
+                        keep_last: int = 1) -> int | None:
+        """Merge an append table's oldest data dirs into one when the dir
+        count exceeds ``max_dirs``. The most recent ``keep_last`` dirs are
+        never merged, preserving read_last_append semantics."""
+        with self._lock:
+            t = self._tbl(name)
+            dirs = list(t["snapshots"].get(str(t["current"]), []))
+        head = dirs[: len(dirs) - keep_last] if keep_last else dirs
+        if len(dirs) <= max_dirs or len(head) < 2:
+            return None
+        d, _ = self._compact_rels_to_dir(name, head)
+        with self._lock:
+            t = self._tbl(name)
+            cur = list(t["snapshots"].get(str(t["current"]), []))
+            tail = cur[len(head):]  # appends that landed meanwhile + kept
+            return self._commit(
+                name, [d] + tail,
+                T.StructType.fromJson(t["schema"]),
+            )
+
     def merge_insert_new(self, name: str, df: DataFrame, key: str | list[str]) -> int:
         """MERGE ... WHEN NOT MATCHED THEN INSERT (dedup-set commit;
         reference analogue: HashSetDedup commit, main/src/task_filters.rs:199-211).

@@ -147,6 +147,91 @@ def test_fetcher_equivalent_to_pages_join(spark, workdir):
                         fetcher=fetcher)
     assert _engine_state(eng_j) == _engine_state(eng_f)
 
+    # DISTRIBUTED point-fetch (pages=None → mapInPandas fetch stage,
+    # plans/engine.py _fetch_stage): every iteration runs the distributed
+    # plan with the fetcher inside it — must equal the pages-join crawl,
+    # including the wire byte tap on fetch_log
+    cfg_d = CrawlConfig(local_iter_threshold=0)
+    eng_jd = _run_engine(spark, workdir + "/jd", rows, seeds, cfg_d)
+    eng_fd = CrawlEngine(spark, None, workdir + "/fd", cfg_d,
+                         fetcher=fetcher)
+    eng_fd.seed(seeds)
+    eng_fd.run()
+    assert _engine_state(eng_jd) == _engine_state(eng_fd)
+
+    def _log(eng):
+        return sorted(
+            tuple(r)
+            for r in eng.io.read("fetch_log").select(
+                "iter", "job_id", "task_seq", "url", "status", "action",
+                "bytes", "read_size", "write_size", "n_links", "title",
+            ).collect()
+        )
+
+    assert _log(eng_jd) == _log(eng_fd)
+
+
+def test_compaction_crawl_parity(spark, workdir):
+    """compact_max_files=1 forces a compaction of url_seen/chain/fetch_log
+    after nearly every iteration, across BOTH execution paths (mixed
+    threshold) — the crawl must be byte-identical to an uncompacted run,
+    including resume from a post-compaction checkpoint."""
+    spec = CorpusSpec(n_hosts=5, base_pages_per_host=12, seed=13)
+    rows, seeds = gen_corpus(spec)
+    base = _run_engine(spark, workdir + "/plain", rows, seeds,
+                       CrawlConfig(compact_max_files=None))
+    compacted = _run_engine(
+        spark, workdir + "/comp", rows, seeds,
+        CrawlConfig(compact_max_files=1, local_iter_threshold=2),
+    )
+    assert _engine_state(base) == _engine_state(compacted)
+    # every append table is fully compacted (≤ 2 dirs: merged + last)
+    t = compacted.io._tbl("chain")
+    assert len(t["snapshots"][str(t["current"])]) <= 2
+    assert all(
+        len(r) <= 2 for r in compacted.io._parts("url_seen").values()
+    )
+    # resume from the compacted checkpoint and compare final state
+    res = CrawlEngine.resume(spark, pages_df(spark, rows),
+                             workdir + "/comp")
+    assert url_seen_engine(res) == url_seen_engine(base)
+
+
+def test_auto_threshold_and_exec_path_metrics(spark, workdir):
+    """local_iter_threshold='auto' resolves to a measured crossover (not
+    the constant), the crawl is identical to a fixed-threshold run, and
+    metrics.exec_local records which path ran each iteration."""
+    spec = CorpusSpec(n_hosts=4, base_pages_per_host=10, seed=9)
+    rows, seeds = gen_corpus(spec)
+    eng_a = CrawlEngine(
+        spark, pages_df(spark, rows), workdir + "/auto",
+        CrawlConfig(local_iter_threshold="auto"),
+    )
+    assert isinstance(eng_a.local_thr, int)
+    assert 2_000 <= eng_a.local_thr <= 100_000
+    eng_a.seed(seeds)
+    stats = eng_a.run()
+    eng_c = _run_engine(spark, workdir + "/const", rows, seeds,
+                        CrawlConfig(local_iter_threshold=10**9))
+    assert _engine_state(eng_a) == _engine_state(eng_c)
+    # this corpus is far below any sane crossover → all-local, and the
+    # metrics table attributes every crawl iteration to the local path
+    m = {r.iter: r.exec_local for r in eng_a.flush_metrics().collect()}
+    crawl_iters = [it for it in m if it > 0]
+    assert crawl_iters and all(m[it] == 1 for it in crawl_iters)
+    assert stats["local_iters"] == len(crawl_iters)
+    assert stats["dist_iters"] == 0
+    # distributed iterations are attributed too
+    m0 = {
+        r.iter: r.exec_local
+        for r in eng_c.flush_metrics().collect()
+    }
+    eng_d = _run_engine(spark, workdir + "/dist", rows, seeds,
+                        CrawlConfig(local_iter_threshold=0))
+    md = {r.iter: r.exec_local for r in eng_d.flush_metrics().collect()}
+    assert all(v == 0 for it, v in md.items() if it > 0)
+    assert all(v == 1 for it, v in m0.items() if it > 0)
+
 
 def test_local_path_used_and_resumable(spark, workdir):
     """A local-path crawl checkpoint resumes identically (same TableIO

@@ -93,15 +93,64 @@ def test_column_matches_python(spark):
     assert got["http://a.example/p"][1] == HS.head_size(hdrs) + len(
         b"<html>ok</html>"
     )
-    assert hdrs["content-length"] == str(len(b"<html>ok</html>"))
-    assert hdrs["server"] == HS.SERVER
+    # multi-valued header map (HeaderMap is HashMap<String, Vec<String>>,
+    # types.rs:212-231): every value is a list
+    assert list(hdrs["content-length"]) == [str(len(b"<html>ok</html>"))]
+    assert list(hdrs["server"]) == [HS.SERVER]
+
+
+def test_custom_request_headers_write_size(spark):
+    """cfg.custom_headers (config.rs:305-312) add one k: v CRLF line each
+    to the request head — write_size grows identically in the Column path
+    and the python mirror; repeated names count once per value."""
+    import pandas as pd
+
+    hdrs = (("x-crawl-run", "r3"), ("accept-language", "en"),
+            ("accept-language", "de"))
+    cfg = CrawlConfig(custom_headers=hdrs)
+    base = CrawlConfig()
+    extra = sum(len(k) + len(v) + 4 for k, v in hdrs)
+    assert HS.custom_header_bytes(hdrs) == extra
+    url, host = "http://a.example/p", "a.example"
+    assert HS.request_size(url, host, cfg.user_agent, hdrs) == (
+        HS.request_size(url, host, base.user_agent) + extra
+    )
+    pdf = pd.DataFrame(
+        [CASES[6]],
+        columns=["url", "host", "resolve_failed", "target", "status",
+                 "content_type", "content_encoding", "location", "html"],
+    )
+    sdf = spark.createDataFrame(
+        pdf,
+        schema=("url string, host string, resolve_failed boolean, "
+                "target string, status int, content_type string, "
+                "content_encoding string, location string, html binary"),
+    )
+    _, _, wr_custom = HS.with_io_columns(sdf, cfg)
+    _, _, wr_base = HS.with_io_columns(sdf, base)
+    row = sdf.select(wr_custom.alias("c"), wr_base.alias("b")).collect()[0]
+    assert row["c"] == row["b"] + extra
+    # round-trips through the checkpoint manifest
+    assert CrawlConfig.from_dict(cfg.to_dict()) == cfg
+
+
+def test_multivalue_head_size():
+    """head_size serializes one k: v CRLF line per VALUE."""
+    single = {"server": [HS.SERVER], "set-cookie": ["a=1"]}
+    multi = {"server": [HS.SERVER], "set-cookie": ["a=1", "b=2"]}
+    assert HS.head_size(multi) == HS.head_size(single) + len(
+        "set-cookie"
+    ) + len("b=2") + 4
 
 
 def test_engine_sim_io_parity(spark, workdir):
     """headers/read_size/write_size byte-identical engine vs simulator on a
     corpus with redirects, robots modes, images, errors."""
     spec = CorpusSpec(n_hosts=6, base_pages_per_host=14, seed=42)
-    sim, eng = run_both(spark, workdir, spec, CrawlConfig())
+    sim, eng = run_both(
+        spark, workdir, spec,
+        CrawlConfig(custom_headers=(("x-crawl-run", "parity"),)),
+    )
     e = {
         (r.iter, r.job_id, r.task_seq): (
             dict(r.headers) if r.headers is not None else None,

@@ -108,3 +108,61 @@ def test_partitioned_checkpoint_rollback(spark, workdir):
     assert {r.k for r in io.read_partitions("t").collect()} == {1, 9}
     io.restore(ck)
     assert {r.k for r in io.read_partitions("t").collect()} == {1, 2}
+
+
+def test_compact_partitions_bounds_files(spark, workdir):
+    """100 appends → ≤K files per partition after compaction; reads return
+    the identical rows (multiset AND per-partition order); prior
+    checkpoints still resolve (old dirs are never deleted)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    io = TableIO(spark, workdir)
+    schema = T.StructType.fromDDL("k long, v string, p int")
+    arrow = io._arrow_schema(schema)
+    import pandas as pd
+
+    for i in range(100):
+        pdf = pd.DataFrame(
+            {"k": [i, i], "v": [f"a{i}", f"b{i}"], "p": [i % 2, i % 2]}
+        )
+        io.append_partitions_pdf("t", pdf, "p", schema)
+    before = sorted(tuple(r) for r in io.read_partitions("t").collect())
+    order_before = {
+        p: list(io.read_partitions_local("t", [p])["k"]) for p in (0, 1)
+    }
+    ck = io.checkpoint("precompact")
+    assert all(len(r) == 50 for r in io._parts("t").values())
+    assert io.compact_partitions("t", max_files=8) is not None
+    assert all(len(r) == 1 for r in io._parts("t").values())
+    after = sorted(tuple(r) for r in io.read_partitions("t").collect())
+    assert before == after
+    for p in (0, 1):
+        assert list(io.read_partitions_local("t", [p])["k"]) == order_before[p]
+    # appends after compaction extend the compacted list
+    io.append_partitions_pdf(
+        "t", pd.DataFrame({"k": [999], "v": ["z"], "p": [0]}), "p", schema
+    )
+    assert len(io._parts("t")["0"]) == 2
+    # nothing to do below threshold → no new snapshot
+    assert io.compact_partitions("t", max_files=8) is None
+    # the pre-compaction checkpoint still reads (old dirs kept)
+    io2 = TableIO(spark, workdir)
+    io2.restore(ck)
+    assert sorted(tuple(r) for r in io2.read_partitions("t").collect()) == before
+
+
+def test_compact_appends_preserves_last_dir(spark, workdir):
+    io = TableIO(spark, workdir)
+    for i in range(20):
+        io.append("t", df(spark, [(i, f"v{i}")]))
+    last_before = [tuple(r) for r in io.read_last_append("t").collect()]
+    before = sorted(tuple(r) for r in io.read("t").collect())
+    assert io.compact_appends("t", max_dirs=8, keep_last=1) is not None
+    t = io._tbl("t")
+    dirs = t["snapshots"][str(t["current"])]
+    assert len(dirs) == 2  # merged head + kept last
+    assert sorted(tuple(r) for r in io.read("t").collect()) == before
+    # read_last_append still returns exactly the newest append's rows
+    assert [tuple(r) for r in io.read_last_append("t").collect()] == last_before
+    assert io.compact_appends("t", max_dirs=8) is None
