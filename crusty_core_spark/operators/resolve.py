@@ -70,19 +70,86 @@ def usable_addrs_udf(extra_cidrs: tuple[str, ...] = ()):
     return usable
 
 
+#: per-python-worker resolver caches, keyed by resolver identity then host.
+#: A worker process survives across tasks and iterations, so a host is
+#: resolved once per (worker, crawl) — the Spark analogue of the reference
+#: resolver's in-process DNS cache (trust-dns caching resolver,
+#: main/src/resolver.rs:54-111).
+_RESOLVER_CACHE: dict = {}
+
+
+def resolver_stage(
+    ready: DataFrame,
+    resolver,
+    extra_cidrs: tuple[str, ...] = (),
+    host_col: str = "host",
+) -> DataFrame:
+    """Adds ``resolve_failed`` via a pluggable point resolver — the
+    vectorized twin of the reference's Resolver trait
+    (main/src/resolver.rs:16-18): ``resolver(host) -> list[str]`` of
+    addresses (raise / return empty on NXDOMAIN). Runs as an Arrow-batched
+    ``mapInPandas`` stage: each executor batch resolves only the hosts it
+    hasn't seen before (per-worker cache above), then applies the
+    reserved-subnet blacklist — resolution fails when every address is
+    filtered out, exactly the dim-table join's semantics. The resolver must
+    be cloudpickle-able; a deployment resolver would wrap a real DNS client.
+    """
+    import hashlib
+    import pickle
+
+    from pyspark.sql import types as T2
+
+    try:
+        rkey = hashlib.md5(pickle.dumps(resolver)).hexdigest()
+    except Exception:
+        rkey = f"{type(resolver).__module__}.{type(resolver).__qualname__}"
+    extra = tuple(extra_cidrs)
+    schema = T2.StructType(
+        list(ready.schema.fields)
+        + [T2.StructField("resolve_failed", T2.BooleanType())]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def batches(it):
+        nets = [ipaddress.ip_network(c) for c in extra]
+        cache = _RESOLVER_CACHE.setdefault(rkey, {})
+        for pdf in it:
+            hosts_norm = [
+                str(h or "").strip().lower() for h in pdf[host_col]
+            ]
+            for h in set(hosts_norm) - cache.keys():
+                try:
+                    addrs = resolver(h)
+                except Exception:
+                    addrs = None
+                cache[h] = bool(addrs) and any(
+                    not ip_blacklisted(a, nets) for a in addrs
+                )
+            pdf = pdf.copy()
+            pdf["resolve_failed"] = [not cache[h] for h in hosts_norm]
+            yield pdf[cols]
+
+    return ready.mapInPandas(batches, schema=schema)
+
+
 def resolve_ready(
     ready: DataFrame,
     hosts: DataFrame | None,
     extra_cidrs: tuple[str, ...] = (),
     host_col: str = "host",
+    resolver=None,
 ) -> DataFrame:
     """Adds ``resolve_failed`` to the ready set.
 
-    hosts: (host, addrs array<string>) dim table, broadcast. No hosts table →
-    resolution is assumed external (the pages-join universe IS the network in
-    the sandbox) and nothing fails. Unknown host or all-addresses-blacklisted
-    → resolve_failed (reference: resolver error → task error)."""
+    hosts: (host, addrs array<string>) dim table, broadcast. No hosts table:
+    a registered point ``resolver`` runs as the vectorized resolver_stage;
+    with neither, resolution is assumed external (the pages-join universe IS
+    the network in the sandbox) and nothing fails. Unknown host or
+    all-addresses-blacklisted → resolve_failed (reference: resolver error →
+    task error)."""
     if hosts is None:
+        if resolver is not None:
+            return resolver_stage(ready, resolver, extra_cidrs, host_col)
         return ready.withColumn("resolve_failed", F.lit(False))
     usable = usable_addrs_udf(extra_cidrs)
     h = F.broadcast(

@@ -53,6 +53,7 @@ class CrawlRulesBuilder:
         self._parser = None
         self._hosts: DataFrame | None = None
         self._fetcher = None
+        self._resolver = None
 
     # --- registration surface (crawler.rs:60-105 names, snake_case) -------
 
@@ -107,8 +108,19 @@ class CrawlRulesBuilder:
         return self
 
     def with_hosts(self, hosts: DataFrame) -> "CrawlRulesBuilder":
-        """Custom Resolver analogue: (host, addrs) dim table."""
+        """Pre-resolved DNS dim table: (host, addrs array<string>),
+        broadcast-joined per iteration (the batch analogue of resolution)."""
         self._hosts = hosts
+        return self
+
+    def with_resolver(self, resolver) -> "CrawlRulesBuilder":
+        """Resolver trait analogue (main/src/resolver.rs:16-18): picklable
+        ``resolver(host) -> list[str]`` of addresses. Without a hosts dim
+        table it runs inside the distributed plan as an Arrow-batched
+        ``mapInPandas`` stage with a per-worker DNS cache
+        (operators/resolve.py resolver_stage); the driver-local path uses a
+        driver-side cache with identical semantics."""
+        self._resolver = resolver
         return self
 
     def with_fetcher(self, fetcher) -> "CrawlRulesBuilder":
@@ -135,4 +147,5 @@ class CrawlRulesBuilder:
             custom_load_filters=tuple(self._load_filters),
             fetcher=self._fetcher,
             parser=self._parser,
+            resolver=self._resolver,
         )

@@ -79,6 +79,7 @@ class CrawlEngine:
         custom_load_filters: tuple = (),
         fetcher=None,
         parser=None,
+        resolver=None,
     ):
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
@@ -139,6 +140,12 @@ class CrawlEngine:
         #: real deployment crawls sources that were never materialized as a
         #: table (the client must be cloudpickle-able).
         self.fetcher = fetcher
+        #: pluggable point resolver (Resolver trait, main/src/resolver.rs:16-18):
+        #: ``resolver(host) -> list[str]`` addresses. Used when no hosts dim
+        #: table is given — runs as the Arrow-batched resolver_stage with a
+        #: per-worker DNS cache (operators/resolve.py); the driver-local path
+        #: keeps its own driver-side cache. Must be cloudpickle-able.
+        self.resolver = resolver
         # fork + warm the local-path worker pool at construction — the
         # one-time fork/COW/import cost is setup (like JVM startup), never
         # part of a crawl iteration
@@ -437,7 +444,7 @@ class CrawlEngine:
         #     task_processor.rs:117-126) then fetch = equi-join vs pages
         from crusty_core_spark.operators.resolve import resolve_ready
 
-        ready = resolve_ready(ready, self.hosts)
+        ready = resolve_ready(ready, self.hosts, resolver=self.resolver)
         fetched = self._fetch_stage(ready)
 
         # --- status filters + size cap, as bulk masks (exact stage order:
@@ -691,11 +698,17 @@ class CrawlEngine:
         # (bounded by n_bloom_shards — passed straight to bloom.update so it
         # needs no distinct job of its own) and job-bucket ids (bounded by
         # N_JOB_BUCKETS — become next iteration's state-read prune set).
+        # The collect is submitted on a background thread and OVERLAPPED with
+        # the commit writers (VERDICT r2 #2): its scheduler latency + driver
+        # result fetch are driver-flat, so running it while the writers keep
+        # the executors busy removes it from the iteration's serial floor.
+        # Only the Bloom commit (needs the touched-shard ids) and the metrics
+        # row (needs the counts) wait on it.
         from crusty_core_spark.operators import bloom
 
         new_tasks = chain_out.filter(F.col("row_kind") == "task")
         zero = F.lit(0).cast("long").alias("n")
-        count_rows = (
+        count_df = (
             fetched.groupBy(F.lit("fetch").alias("fam"), "action")
             .agg(F.count("*").alias("n"))
             .unionByName(self._sched_agg(chain_out))
@@ -727,33 +740,50 @@ class CrawlEngine:
                 .agg(F.coalesce(F.sum("write_size"), F.lit(0))
                      .cast("long").alias("n"))
             )
-            .collect()
         )
-        counts = {r["action"]: r["n"] for r in count_rows if r["fam"] == "fetch"}
-        self._sched_counts = {
-            r["action"]: r["n"] for r in count_rows if r["fam"] == "sched"
-        }
-        self._io_bytes = {
-            r["action"]: int(r["n"]) for r in count_rows if r["fam"] == "bytes"
-        }
-        new_shards = [
-            int(r["action"]) for r in count_rows if r["fam"] == "shard"
-        ]
-        new_buckets = [
-            int(r["action"]) for r in count_rows if r["fam"] == "bucket"
-        ]
-        mark("materialize+counts")
+        if getattr(self, "_counts_pool", None) is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._counts_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="counts"
+            )
+        counts_fut = self._counts_pool.submit(count_df.collect)
+
+        def resolve_counts():
+            rows = counts_fut.result()  # idempotent: Future caches its value
+            return {
+                "counts": {
+                    r["action"]: r["n"] for r in rows if r["fam"] == "fetch"
+                },
+                "sched": {
+                    r["action"]: r["n"] for r in rows if r["fam"] == "sched"
+                },
+                "bytes": {
+                    r["action"]: int(r["n"]) for r in rows
+                    if r["fam"] == "bytes"
+                },
+                "shards": [
+                    int(r["action"]) for r in rows if r["fam"] == "shard"
+                ],
+                "buckets": [
+                    int(r["action"]) for r in rows if r["fam"] == "bucket"
+                ],
+            }
+
+        mark("materialize")
         self._commit_chain_out(
             chain_out,
             it=it,
             remaining=remaining,
             fetch_log=fetch_log,
-            counts=counts,
+            counts_resolver=resolve_counts,
             wall_ms=int((time.time() - t0) * 1000),
             finish_reason="SoftTimeout" if drain else "Complete",
-            touched_shards=new_shards,
         )
-        mark("commit")
+        mark("commit+counts")
+        resolved = resolve_counts()
+        counts = resolved["counts"]
+        new_buckets = resolved["buckets"]
         chain_out.unpersist()
         cands.unpersist()
         cands_raw.unpersist()
@@ -916,7 +946,8 @@ class CrawlEngine:
 
     # ---------------------------------------------------------------- commit
 
-    def _commit_chain_out(self, chain_out, it, remaining, fetch_log, counts,
+    def _commit_chain_out(self, chain_out, it, remaining, fetch_log,
+                          counts=None, counts_resolver=None,
                           wall_ms=0, finish_reason="Complete",
                           touched_shards=None):
         """Commit an iteration. Every write is O(this iteration's work):
@@ -934,7 +965,10 @@ class CrawlEngine:
         The dedup commit-last semantics hold because the chain only emits
         fresh URLs, so the append IS the MERGE (task_filters.rs:199-211).
         Independent writes run concurrently = lower serial floor = better
-        N→4N scaling."""
+        N→4N scaling. When ``counts_resolver`` is given (a distributed step
+        with its counts collect in flight on a background thread), the
+        writers that need no counts start immediately and only the Bloom
+        commit + metrics row wait on the resolver."""
         from crusty_core_spark.operators import bloom
 
         io = self.io
@@ -942,14 +976,30 @@ class CrawlEngine:
         # small iterations → few output files: every writer below reads the
         # persisted chain_out, so coalescing tiny writes costs nothing and
         # cuts the per-iteration file count (the serial floor) sharply; big
-        # iterations keep full write parallelism
-        n_accepted = getattr(self, "_sched_counts", {}).get("accept", 0) or 0
-        w_parts = max(1, min(32, int(n_accepted) // 20_000 + 1))
+        # iterations keep full write parallelism. With the counts collect
+        # still in flight the accepted count isn't known yet — the
+        # pre-iteration pending size (maintained arithmetically) is the
+        # stand-in: in the delay=0 regime pending IS last iteration's accept
+        # count, so it tracks the write volume within one branching factor,
+        # and a misestimate only shifts file sizes (compaction bounds counts).
+        if counts_resolver is not None:
+            est = int(self.io.state.get("pending", 0))
+            w_parts = max(1, min(32, est // 10_000 + 1))
+        else:
+            n_accepted = getattr(self, "_sched_counts", {}).get("accept", 0) or 0
+            w_parts = max(1, min(32, int(n_accepted) // 20_000 + 1))
 
         def _bloom_update():
+            if counts_resolver is not None:
+                res = counts_resolver()
+                shards = res["shards"]
+                n_acc = res["sched"].get("accept", 0)
+            else:
+                shards = touched_shards
+                n_acc = getattr(self, "_sched_counts", {}).get("accept", 0) or 0
             bloom.update(
                 tasks_out.select("job_id", "url", "host"), io, self.cfg,
-                touched_ids=touched_shards, n_accepted=n_accepted,
+                touched_ids=shards, n_accepted=n_acc,
             )
 
         def _job_state_write():
@@ -1063,6 +1113,11 @@ class CrawlEngine:
         # metrics accumulate in the manifest (checkpointed) and are
         # materialized as a table by flush_metrics() — avoids a tiny table
         # write per iteration
+        if counts_resolver is not None:
+            res = counts_resolver()  # already resolved by the Bloom writer
+            counts = res["counts"]
+            self._sched_counts = res["sched"]
+            self._io_bytes = res["bytes"]
         sched_counts = getattr(self, "_sched_counts", {})
         dedup_stats = getattr(self, "_dedup_stats", {})
         io_bytes = getattr(self, "_io_bytes", {})
@@ -1110,11 +1165,19 @@ class CrawlEngine:
                 last.filter(F.col("row_kind") == "task"),
                 it - 1,
             )
-        # a driver-local iteration commits ONE file — without a respread the
-        # whole distributed plan downstream (fetch join, extract, chain)
-        # would inherit a single input partition
+        # The fetch join's hash(url) exchange redistributes the frontier to
+        # full parallelism regardless of scan partitioning, so an
+        # unconditional repartition here would shuffle the whole frontier
+        # TWICE per iteration. A respread is only needed when the backing
+        # commit is a single file (a driver-local iteration writes one):
+        # then the exchange's map side — scan + resolve probe + hash/write
+        # of up to threshold×branching rows — would run as one task.
         n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        return pending.repartition(n)
+        try:
+            few_files = len(pending.inputFiles()) < max(2, n // 8)
+        except Exception:
+            few_files = True
+        return pending.repartition(n) if few_files else pending
 
     def _job_state_df(self) -> DataFrame:
         """All jobs' current states (the partitioned job_state table —

@@ -246,6 +246,29 @@ def _hosts_usable_map(engine) -> dict[str, bool]:
     return m
 
 
+def _resolver_usable(engine, hosts_series) -> dict[str, bool]:
+    """host → has-usable-address via the registered point resolver — the
+    driver-side twin of operators.resolve.resolver_stage (same blacklist,
+    same failure semantics), with a per-engine cache so a host is resolved
+    once per crawl."""
+    from crusty_core_spark.operators.resolve import ip_blacklisted
+
+    cache = getattr(engine, "_resolver_usable_cache", None)
+    if cache is None:
+        cache = engine._resolver_usable_cache = {}
+    for h in {str(x or "").strip().lower() for x in hosts_series}:
+        if h in cache:
+            continue
+        try:
+            addrs = engine.resolver(h)
+        except Exception:
+            addrs = None
+        cache[h] = bool(addrs) and any(
+            not ip_blacklisted(a) for a in addrs
+        )
+    return cache
+
+
 def _seen_sets(io, shards: list[int]) -> dict[int, set]:
     """Per-shard (job_id, url) membership sets for the selected url_seen
     shards — a candidate can only live in its host's shard, so membership
@@ -373,13 +396,18 @@ def _step_local_inner(engine, it: int) -> dict:
         # reference's HTTP fetch is exactly this shape). With a hosts dim,
         # resolution runs against a driver-cached usable-host map (the
         # python twin of operators.resolve.resolve_ready).
-        if engine.hosts is None:
-            rf = pd.Series(False, index=ready.index)
-        else:
+        if engine.hosts is not None:
             usable = _hosts_usable_map(engine)
             rf = ~ready["host"].map(
                 lambda h: usable.get(str(h or "").strip().lower(), False)
             )
+        elif engine.resolver is not None:
+            usable = _resolver_usable(engine, ready["host"])
+            rf = ~ready["host"].map(
+                lambda h: usable[str(h or "").strip().lower()]
+            )
+        else:
+            rf = pd.Series(False, index=ready.index)
         fetch_urls = sorted(set(ready["url"][~rf].tolist()))
         pages_pd = engine.fetcher(fetch_urls)
         if pages_pd is None or not len(pages_pd):
@@ -412,7 +440,7 @@ def _step_local_inner(engine, it: int) -> dict:
         # side of a left join; the LocalRelation's known tiny size lets AQE
         # pick the build side
         fetched = (
-            resolve_ready(ready_sdf, engine.hosts)
+            resolve_ready(ready_sdf, engine.hosts, resolver=engine.resolver)
             .join(engine.pages, on="url", how="left")
             .select(*fetch_cols)
             .toPandas()
