@@ -92,6 +92,7 @@ def make_chain_fn(cfg, custom_filters: tuple = (), drain: bool = False):
 
         for srow in right.to_dict("records"):
             job_id = int(srow["job_id"])
+            tasks_before = len(task_rows)
             srow = {k: _nn(v) for k, v in srow.items()}
             st = JobChainState.from_row(srow)
             resp_counter = int(srow["resp_counter"])
@@ -202,8 +203,17 @@ def make_chain_fn(cfg, custom_filters: tuple = (), drain: bool = False):
             # action tags whether this job had chain input this iteration:
             # untouched jobs in a touched bucket pass through unmodified
             # (their partition is rewritten anyway) and the tag lets the
-            # engine derive job-completion records from the cached output
-            ns["action"] = "touched" if rows else "untouched"
+            # engine derive job-completion records from the cached output.
+            # "touched_done" = touched AND emitted zero new tasks — in the
+            # delay=0 regime that job's frontier is empty afterwards, so
+            # the engine's job_log writer reads Finished records straight
+            # off the state rows (no distinct/anti-join job needed).
+            if not rows:
+                ns["action"] = "untouched"
+            elif len(task_rows) > tasks_before:
+                ns["action"] = "touched"
+            else:
+                ns["action"] = "touched_done"
             state_rows.append(tuple(job_id if c == "job_id" else ns[c]
                                     for c in _STATE_COLS + ["action"]))
 

@@ -499,6 +499,23 @@ class CrawlEngine:
         )
         if self.custom_status_filters or self.custom_load_filters:
             fetched = self._apply_custom_fetch_filters(fetched)
+        fetched = (
+            # precomputed at persist-build time (after custom filters — the
+            # robots-body predicate must see the FINAL action) so the
+            # downstream consumers (fetch_log writer, chain-input resp rows)
+            # read these tiny columns from the cache instead of decoding the
+            # html column — the cache is columnar, so pruning html out of
+            # those scans removes the iteration's biggest repeated byte
+            # stream
+            fetched.withColumn("body_bytes", F.length("html").cast("long"))
+            .withColumn(
+                "robots_body",
+                F.when(
+                    (F.col("marker") == 1) & (F.col("action") == "processed"),
+                    F.col("html"),
+                ),
+            )
+        )
         fetched.persist()
         barrier(fetched, "fetch+classify")
 
@@ -513,6 +530,13 @@ class CrawlEngine:
         )
         if drain:
             to_parse = to_parse.limit(0)
+        # persist policy: with fetch_log_detail OFF, ``parsed`` and ``cands``
+        # each have exactly ONE downstream consumer (the title/n_links joins
+        # are the second readers) — persisting them would pay a full extra
+        # materialization pass over the iteration's two biggest
+        # intermediates for nothing. Deep-profile runs persist regardless so
+        # the phase barriers don't recompute stages.
+        multi_read = cfg.fetch_log_detail or deep
         parsed = extract_pages_canonical(
             to_parse,
             base_col="url",
@@ -520,7 +544,9 @@ class CrawlEngine:
             user_extract=self.user_extract,
             user_schema=self.user_extract_schema,
             parser=self.parser,
-        ).persist()
+        )
+        if multi_read:
+            parsed.persist()
         barrier(parsed, "extract")
 
         link = F.col("link")
@@ -599,7 +625,8 @@ class CrawlEngine:
             .withColumn("body", F.lit(None).cast("binary"))
             .withColumn("action", F.lit(None).cast("string"))
         )
-        cands.persist()  # feeds both the chain input and the n_links agg
+        if multi_read:
+            cands.persist()  # feeds both the chain input and the n_links agg
         barrier(cands, "cands+bloom+seen")
 
         # --- response rows (every ready task; robots rows carry their body)
@@ -621,10 +648,7 @@ class CrawlEngine:
             "status",
             "content_type",
             "content_encoding",
-            F.when(
-                (F.col("marker") == 1) & (F.col("action") == "processed"),
-                F.col("html"),
-            ).alias("body"),
+            F.col("robots_body").alias("body"),
             "action",
         )
         chain_input = resp_rows.unionByName(
@@ -660,7 +684,7 @@ class CrawlEngine:
             "marker",
             "status",
             "action",
-            F.length("html").cast("long").alias("bytes"),
+            F.col("body_bytes").alias("bytes"),
             # per-stage metric analogue (StatusMetrics.wait_duration,
             # types.rs:242-246) in deterministic iteration ticks
             (F.lit(it) - F.col("added_iter")).cast("long").alias("wait_iters"),
@@ -1042,15 +1066,26 @@ class CrawlEngine:
         def _job_log_write():
             # per-job Finished record (task_scheduler.rs:158-167): a job
             # touched this iteration with an empty frontier afterwards is
-            # done. Both join sides come from the cached chain output (the
-            # state rows carry the touched tag), so this is a cheap job.
-            next_pending = tasks if tasks is not None else tasks_out
-            touched = chain_out.filter(
-                (F.col("row_kind") == "state") & (F.col("action") == "touched")
-            ).select("job_id", "budget_used", "resp_counter", "seq_counter")
-            finished = touched.join(
-                next_pending.select("job_id").distinct(), "job_id", "left_anti"
-            )
+            # done. delay=0: the chain tags such jobs "touched_done" (zero
+            # tasks emitted — and the next frontier IS the new tasks), so
+            # Finished records are a pure filter over the cached chain
+            # output: no distinct, no anti-join, no shuffle. Politeness
+            # mode keeps the join (leftover due/not-due rows can keep a
+            # zero-emission job alive).
+            state_rows = chain_out.filter(F.col("row_kind") == "state")
+            if tasks is None:
+                finished = state_rows.filter(
+                    F.col("action") == "touched_done"
+                ).select("job_id", "budget_used", "resp_counter",
+                         "seq_counter")
+            else:
+                touched = state_rows.filter(
+                    F.col("action").isin("touched", "touched_done")
+                ).select("job_id", "budget_used", "resp_counter",
+                         "seq_counter")
+                finished = touched.join(
+                    tasks.select("job_id").distinct(), "job_id", "left_anti"
+                )
             io.append(
                 "job_log",
                 finished.select(
@@ -1171,13 +1206,20 @@ class CrawlEngine:
         # TWICE per iteration. A respread is only needed when the backing
         # commit is a single file (a driver-local iteration writes one):
         # then the exchange's map side — scan + resolve probe + hash/write
-        # of up to threshold×branching rows — would run as one task.
+        # of up to threshold×branching rows — would run as one task. And the
+        # respread hash-partitions on the key the plan needs next (url for
+        # the fetch join, (job_id, host) for the politeness window — a
+        # subset clustering satisfies the salted window too), so Catalyst
+        # REUSES it instead of exchanging again: one shuffle either way.
         n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         try:
             few_files = len(pending.inputFiles()) < max(2, n // 8)
         except Exception:
             few_files = True
-        return pending.repartition(n) if few_files else pending
+        if not few_files:
+            return pending
+        key = ["job_id", "host"] if self.cfg.delay_ms > 0 else ["url"]
+        return pending.repartition(n, *[F.col(c) for c in key])
 
     def _job_state_df(self) -> DataFrame:
         """All jobs' current states (the partitioned job_state table —

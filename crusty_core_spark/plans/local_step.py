@@ -146,6 +146,18 @@ def _extract_worker(args):
     )
 
 
+def _bloom_positions_worker(args):
+    """Fork-pool kernel: bit positions for a slice of the accepted tasks.
+    The pure-python xxhash64 twin costs ~60 µs/url — serial it dominates a
+    fat local commit (measured ~7 s per 120 k tasks), across the pool it's
+    sub-second."""
+    num_hashes, n_bits, jobs, urls = args
+    return [
+        bloom_positions(int(j), u, num_hashes, n_bits)
+        for j, u in zip(jobs, urls)
+    ]
+
+
 def _chain_worker(args):
     cfg, filters, drain, key, left, right = args
     fn = make_chain_fn(cfg, filters, drain)
@@ -802,7 +814,11 @@ def _step_local_inner(engine, it: int) -> dict:
     chain_schema = io.schema("chain")
     log_rows = chain_out[chain_out["row_kind"] != "state"].copy()
     log_rows["iter"] = int(it)
-    io.append_pdf("chain", log_rows, chain_schema)
+    # fat commits split into multiple files (threaded write): the NEXT
+    # iteration may be distributed — its frontier scan then starts from
+    # parallel input partitions instead of one single-file task
+    io.append_pdf("chain", log_rows, chain_schema,
+                  n_files=min(16, len(log_rows) // 25_000 + 1))
 
     states_out = chain_out[chain_out["row_kind"] == "state"][
         _STATE_COLS
@@ -812,28 +828,47 @@ def _step_local_inner(engine, it: int) -> dict:
         "job_state", states_out, "_bucket", io.schema("job_state")
     )
 
-    seen_new = new_tasks[["job_id", "url", "host"]].copy()
+    # shard ids are per-HOST — hosts repeat heavily across tasks, so one
+    # hash per distinct host instead of one per task
+    hosts_list = new_tasks["host"].tolist()
+    shard_by_host = {
+        h: bloom_shard_id(h or "", cfg.n_bloom_shards)
+        for h in set(hosts_list)
+    }
+    seen_new = new_tasks[["job_id", "url"]].copy()
     seen_new["added_iter"] = int(it)
-    seen_new["shard"] = [
-        bloom_shard_id(h or "", cfg.n_bloom_shards)
-        for h in seen_new["host"].tolist()
-    ]
+    seen_new["shard"] = [shard_by_host[h] for h in hosts_list]
     io.append_partitions_pdf(
-        "url_seen", seen_new.drop(columns=["host"]), "shard",
-        io.schema("url_seen"),
+        "url_seen", seen_new, "shard", io.schema("url_seen"),
     )
 
     if cfg.use_bloom and len(new_tasks):
-        pairs = [
-            (
-                bloom_shard_id(h or "", cfg.n_bloom_shards),
+        jobs_list = new_tasks["job_id"].tolist()
+        urls_list = new_tasks["url"].tolist()
+        if n_workers > 1 and len(jobs_list) >= 20_000:
+            import numpy as np
+
+            splits = [
+                ix for ix in np.array_split(np.arange(len(jobs_list)),
+                                            n_workers) if len(ix)
+            ]
+            parts = _get_pool(n_workers).map(
+                _bloom_positions_worker,
+                [
+                    (cfg.bloom_num_hashes, cfg.bloom_bits_per_shard,
+                     [jobs_list[i] for i in ix], [urls_list[i] for i in ix])
+                    for ix in splits
+                ],
+            )
+            positions = [p for part in parts for p in part]
+        else:
+            positions = [
                 bloom_positions(int(j), u, cfg.bloom_num_hashes,
-                                cfg.bloom_bits_per_shard),
-            )
-            for j, u, h in zip(
-                new_tasks["job_id"].tolist(), new_tasks["url"].tolist(),
-                new_tasks["host"].tolist(),
-            )
+                                cfg.bloom_bits_per_shard)
+                for j, u in zip(jobs_list, urls_list)
+            ]
+        pairs = [
+            (shard_by_host[h], p) for h, p in zip(hosts_list, positions)
         ]
         bloom.merge_pairs_local(io, cfg, pairs)
 
@@ -849,13 +884,15 @@ def _step_local_inner(engine, it: int) -> dict:
         io.overwrite_pdf(
             "frontier_pending", tasks_pdf[_FRONTIER_COLS],
             io.schema("frontier_pending"),
+            n_files=min(16, len(tasks_pdf) // 25_000 + 1),
         )
         next_job_ids = set(tasks_pdf["job_id"].tolist())
     else:
         next_job_ids = set(new_tasks["job_id"].tolist())
 
     touched = chain_out[
-        (chain_out["row_kind"] == "state") & (chain_out["action"] == "touched")
+        (chain_out["row_kind"] == "state")
+        & (chain_out["action"].isin(["touched", "touched_done"]))
     ]
     finish_reason = "SoftTimeout" if drain else "Complete"
     finished = touched[~touched["job_id"].isin(next_job_ids)]

@@ -387,7 +387,12 @@ class TableIO:
         pdf = self._read_paths_local(self.partition_paths(name, values), columns)
         return self._empty_pdf(name, columns) if pdf is None else pdf
 
-    def _write_pdf_dir(self, name: str, pdf, spark_schema: T.StructType) -> str:
+    def _write_pdf_dir(self, name: str, pdf, spark_schema: T.StructType,
+                       n_files: int = 1) -> str:
+        """``n_files > 1`` splits the frame into that many row-sliced files
+        (written concurrently — pyarrow releases the GIL): a fat driver-local
+        commit read back by a DISTRIBUTED iteration then scans in parallel
+        instead of starting from one single-file partition."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -403,19 +408,36 @@ class TableIO:
             schema=arrow,
             preserve_index=False,
         )
-        pq.write_table(tbl, os.path.join(path, "part-00000.parquet"))
+        k = max(1, min(int(n_files), max(1, tbl.num_rows)))
+        if k == 1:
+            pq.write_table(tbl, os.path.join(path, "part-00000.parquet"))
+            return d
+        step = -(-tbl.num_rows // k)
+
+        def write_one(i):
+            pq.write_table(
+                tbl.slice(i * step, step),
+                os.path.join(path, f"part-{i:05d}.parquet"),
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(k, 16)) as ex:
+            list(ex.map(write_one, range(k)))
         return d
 
-    def append_pdf(self, name: str, pdf, spark_schema: T.StructType) -> int:
+    def append_pdf(self, name: str, pdf, spark_schema: T.StructType,
+                   n_files: int = 1) -> int:
         """Driver-side twin of ``append`` (no Spark job)."""
-        d = self._write_pdf_dir(name, pdf, spark_schema)
+        d = self._write_pdf_dir(name, pdf, spark_schema, n_files)
         with self._lock:
             t = self._tbl(name)
             cur = list(t["snapshots"].get(str(t["current"]), []))
             return self._commit(name, cur + [d], spark_schema)
 
-    def overwrite_pdf(self, name: str, pdf, spark_schema: T.StructType) -> int:
-        d = self._write_pdf_dir(name, pdf, spark_schema)
+    def overwrite_pdf(self, name: str, pdf, spark_schema: T.StructType,
+                      n_files: int = 1) -> int:
+        d = self._write_pdf_dir(name, pdf, spark_schema, n_files)
         return self._commit(name, [d], spark_schema)
 
     def _write_partitions_pdf(
