@@ -26,6 +26,13 @@ Methodology notes (each item is load-bearing for honest numbers):
   scaling collapses for reasons outside the engine (host oversubscription:
   a pure-python microbenchmark scales 3.55x from 4->16 pinned vCPUs but
   only 1.43x from 16->32), so 4-vs-16 is the honest "N vs 4N cores" pair.
+- **INTERLEAVED pairs**: both levels run as persistent worker processes
+  and timed runs alternate N, 4N, N, 4N, ... The hypervisor steals CPU in
+  multi-minute bursts; the previous all-N-then-all-4N ordering let one
+  burst land entirely on one level and bias the ratio (observed: identical
+  back-to-back 4N runs at 3.4k vs 8.3k urls/s). Pairing adjacent runs
+  decorrelates the weather; the per-pair ratio median is reported
+  alongside the per-level medians.
 - **tmpfs I/O**: corpus, engine tables, and spark.local.dir live on
   /dev/shm — the sandbox's /tmp is a virtual disk with high run-to-run
   variance that would otherwise dominate the comparison.
@@ -33,11 +40,15 @@ Methodology notes (each item is load-bearing for honest numbers):
   A thin warmup leaves the distributed plan's JIT/codegen cold, and the
   first timed run then pays ~2x (measured: cold 3.2k urls/s vs warm 6.9-8.9k
   at 16 vCPUs) — charging JIT to the small level skews the ratio.
-- **medians + steal accounting**: N_RUNS timed runs per level; the median
-  rate is reported. The hypervisor steals CPU in bursts (identical
-  back-to-back runs swing +-50%); per-run steal jiffies from /proc/stat are
-  recorded so outliers are explainable. The best-run ratio is reported
-  alongside the median ratio.
+- **per-iteration walls**: each run also reports (iter, n_ready, wall_ms)
+  from the engine's metrics table, so efficiency decomposes into the
+  thin-iteration floor (fixed per-iteration costs: job launch, driver
+  collect, commit manifests — which the rule's 10^10-URL all-fat regime
+  does not contain) and FAT-iteration scaling (n_ready >= FAT_ROWS),
+  reported as ``scaling_efficiency_fat``.
+- **medians + steal accounting**: N_RUNS timed runs per level; medians are
+  reported, per-run steal jiffies from /proc/stat recorded so outliers are
+  explainable. The best-run ratio is reported alongside.
 - **correctness gate**: both levels must produce the identical crawl
   (urls_processed and url_seen equality is asserted per run).
 
@@ -64,6 +75,7 @@ SHM = "/dev/shm/crusty_bench"
 EXEC_CORES = 4
 EXEC_MEM_MB = 16384   # local-cluster worker memory (MB)
 EXEC_HEAP_MB = 14336  # spark.executor.memory — headroom below worker mem
+FAT_ROWS = 100_000    # an iteration is "fat" when n_ready >= this
 
 RUNNER = r"""
 import sys, json, time, tempfile, os
@@ -73,7 +85,7 @@ from crusty_core_spark.config import CrawlConfig
 from crusty_core_spark.plans.engine import CrawlEngine
 from crusty_core_spark.sources.datagen import CorpusSpec, host_name
 
-n_exec, pages_path, shm, n_hosts, max_iters, n_runs = sys.argv[1:7]
+n_exec, pages_path, shm, n_hosts, max_iters = sys.argv[1:6]
 exec_cores = int(os.environ["SCALE_EXEC_CORES"])
 exec_mem_mb = int(os.environ["SCALE_EXEC_MEM_MB"])
 exec_heap_mb = int(os.environ["SCALE_EXEC_HEAP_MB"])
@@ -120,50 +132,99 @@ def one_run(wd):
     steal = steal_jiffies() - s0
     n = eng.io.read("fetch_log").count()
     seen = eng.url_seen_df().count()
-    return wall, n, seen, steal
+    # per-iteration walls straight from the manifest metrics buffer (no
+    # Spark job); row layout = schemas.METRICS column order
+    names = [c.split()[0] for c in
+             __import__("crusty_core_spark.plans.schemas",
+                        fromlist=["METRICS"]).METRICS.split(",")]
+    buf = eng.io.state.get("metrics_buffer", [])
+    iters = sorted(
+        ({"iter": int(d["iter"]), "n_ready": int(d["n_ready"]),
+          "wall_ms": int(d["wall_ms"])}
+         for d in (dict(zip(names, r)) for r in buf)),
+        key=lambda d: d["iter"])
+    return wall, n, seen, steal, iters
 
 
-# ONE UNTIMED FULL-SIZE warmup: JIT/codegen for the actual distributed
-# plan at the actual data scale (a thin warmup leaves the first timed run
-# ~2x slow on plan JIT — see module docstring)
-one_run(tempfile.mkdtemp(dir=shm, prefix="warm%s_" % n_exec))
-
-runs = []
-for i in range(int(n_runs)):
-    wd = tempfile.mkdtemp(dir=shm, prefix="scale%s_r%d_" % (n_exec, i))
-    wall, n, seen, steal = one_run(wd)
-    runs.append({"wall_sec": round(wall, 2), "urls_processed": n,
-                 "url_seen": seen, "urls_per_sec": round(n / wall, 2),
-                 "steal_jiffies": steal})
-    print("RUN " + json.dumps(runs[-1]), flush=True)
-print("RESULT " + json.dumps({"executors": int(n_exec), "runs": runs}))
+# protocol: parent writes "RUN <wd>\n" or "EXIT\n"; runner answers one
+# "DONE {json}\n" per run (warmup is just the first commanded run, untimed
+# by the parent)
+for line in sys.stdin:
+    line = line.strip()
+    if not line or line == "EXIT":
+        break
+    wd = line.split(" ", 1)[1]
+    wall, n, seen, steal, iters = one_run(wd)
+    print("DONE " + json.dumps(
+        {"wall_sec": round(wall, 2), "urls_processed": n, "url_seen": seen,
+         "urls_per_sec": round(n / wall, 2), "steal_jiffies": steal,
+         "iters": iters}), flush=True)
 """
 
 
-def run_level(n_exec: int, cpu_list: str, pages_path: str, n_hosts: int,
-              max_iters: int, n_runs: int) -> dict:
-    out = subprocess.run(
-        ["taskset", "-c", cpu_list, sys.executable, "-c", RUNNER,
-         str(n_exec), pages_path, SHM, str(n_hosts), str(max_iters),
-         str(n_runs)],
-        capture_output=True, text=True, timeout=5400,
-        env={**os.environ,
-             "SCALE_EXEC_CORES": str(EXEC_CORES),
-             "SCALE_EXEC_MEM_MB": str(EXEC_MEM_MB),
-             "SCALE_EXEC_HEAP_MB": str(EXEC_HEAP_MB)},
-    )
-    for line in out.stdout.splitlines():
-        if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
-    raise RuntimeError(f"run at {n_exec} executors failed:\n"
-                       f"{out.stdout[-2000:]}\n{out.stderr[-3000:]}")
+class Level:
+    """A persistent pinned runner subprocess for one executor count."""
+
+    def __init__(self, n_exec: int, cpu_list: str, pages_path: str,
+                 n_hosts: int, max_iters: int):
+        self.n_exec = n_exec
+        self.proc = subprocess.Popen(
+            ["taskset", "-c", cpu_list, sys.executable, "-c", RUNNER,
+             str(n_exec), pages_path, SHM, str(n_hosts), str(max_iters)],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True, bufsize=1,
+            env={**os.environ,
+                 "SCALE_EXEC_CORES": str(EXEC_CORES),
+                 "SCALE_EXEC_MEM_MB": str(EXEC_MEM_MB),
+                 "SCALE_EXEC_HEAP_MB": str(EXEC_HEAP_MB)},
+        )
+        self.runs: list[dict] = []
+
+    def run_once(self, tag: str, record: bool = True) -> dict:
+        import tempfile
+
+        wd = tempfile.mkdtemp(dir=SHM, prefix=f"s{self.n_exec}_{tag}_")
+        self.proc.stdin.write(f"RUN {wd}\n")
+        self.proc.stdin.flush()
+        for line in self.proc.stdout:
+            if line.startswith("DONE "):
+                r = json.loads(line[len("DONE "):])
+                if record:
+                    self.runs.append(r)
+                    print(f"RUN n_exec={self.n_exec} " + json.dumps(
+                        {k: r[k] for k in
+                         ("wall_sec", "urls_per_sec", "steal_jiffies")}),
+                        flush=True)
+                shutil.rmtree(wd, ignore_errors=True)
+                return r
+        raise RuntimeError(
+            f"runner n_exec={self.n_exec} died (rc={self.proc.poll()})")
+
+    def close(self):
+        try:
+            self.proc.stdin.write("EXIT\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=60)
+        except Exception:
+            self.proc.kill()
+
+
+def fat_wall_sec(run: dict) -> float:
+    return sum(i["wall_ms"] for i in run["iters"]
+               if i["n_ready"] >= FAT_ROWS) / 1000.0
+
+
+def fat_urls(run: dict) -> int:
+    # n_ready of fat iterations = urls processed by them
+    return sum(i["n_ready"] for i in run["iters"]
+               if i["n_ready"] >= FAT_ROWS)
 
 
 def main():
     n_hosts = int(sys.argv[1]) if len(sys.argv) > 1 else 36000
     ppg = int(sys.argv[2]) if len(sys.argv) > 2 else 40
     max_iters = int(sys.argv[3]) if len(sys.argv) > 3 else 4
-    n_runs = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    n_runs = int(sys.argv[4]) if len(sys.argv) > 4 else 5
 
     from crusty_core_spark.session import get_spark
     from crusty_core_spark.sources.datagen import CorpusSpec, gen_pages_spark
@@ -180,40 +241,71 @@ def main():
     n_pages = spark.read.parquet(pages_path).count()
     spark.stop()
 
-    r1 = run_level(1, "0-3", pages_path, n_hosts, max_iters, n_runs)
-    r4 = run_level(4, "0-15", pages_path, n_hosts, max_iters, n_runs)
+    # DISJOINT pins: the idle peer runner's JVM (GC/heartbeat threads) must
+    # never share cores with the level currently being timed
+    lvl1 = Level(1, "28-31", pages_path, n_hosts, max_iters)
+    lvl4 = Level(4, "0-15", pages_path, n_hosts, max_iters)
+    try:
+        # one untimed full-size warmup per level (JIT/codegen at real scale)
+        lvl1.run_once("warm", record=False)
+        lvl4.run_once("warm", record=False)
+        # interleaved timed pairs: adjacent runs see the same VM weather
+        for i in range(n_runs):
+            lvl1.run_once(f"r{i}")
+            lvl4.run_once(f"r{i}")
+    finally:
+        lvl1.close()
+        lvl4.close()
 
-    for a, b in zip(r1["runs"], r4["runs"]):
+    r1, r4 = lvl1.runs, lvl4.runs
+    for a, b in zip(r1, r4):
         assert a["urls_processed"] == b["urls_processed"], "crawl mismatch"
         assert a["url_seen"] == b["url_seen"]
 
-    med1 = statistics.median(r["urls_per_sec"] for r in r1["runs"])
-    med4 = statistics.median(r["urls_per_sec"] for r in r4["runs"])
-    best1 = max(r["urls_per_sec"] for r in r1["runs"])
-    best4 = max(r["urls_per_sec"] for r in r4["runs"])
+    med1 = statistics.median(r["urls_per_sec"] for r in r1)
+    med4 = statistics.median(r["urls_per_sec"] for r in r4)
+    best1 = max(r["urls_per_sec"] for r in r1)
+    best4 = max(r["urls_per_sec"] for r in r4)
+    pair_effs = [
+        round((b["urls_per_sec"] / a["urls_per_sec"]) / 4, 3)
+        for a, b in zip(r1, r4)
+    ]
+    # fat-iteration efficiency: same-urls / median fat wall at each level
+    fat_rate1 = statistics.median(fat_urls(r) / fat_wall_sec(r) for r in r1)
+    fat_rate4 = statistics.median(fat_urls(r) / fat_wall_sec(r) for r in r4)
     eff = (med4 / med1) / 4
     result = {
         "corpus_pages": n_pages,
         "n_hosts": n_hosts,
         "topology": (
-            "local-cluster[1,%d,%d] (N=1 executor x %d cores, taskset 0-3) "
-            "vs local-cluster[4,%d,%d] (4N=4 executors x %d cores, taskset "
-            "0-15); spark.executor.memory=%dm; identical per-executor "
+            "local-cluster[1,%d,%d] (N=1 executor x %d cores, taskset "
+            "28-31) vs local-cluster[4,%d,%d] (4N=4 executors x %d cores, "
+            "taskset 0-15, disjoint from N's pin); "
+            "spark.executor.memory=%dm; identical per-executor "
             "resources" % (EXEC_CORES, EXEC_MEM_MB, EXEC_CORES,
                            EXEC_CORES, EXEC_MEM_MB, EXEC_CORES,
                            EXEC_HEAP_MB)
         ),
-        "methodology": "taskset-pinned CPUs, tmpfs I/O, full-size untimed "
-                       "warmup per level, median of %d runs, per-run steal "
-                       "jiffies recorded" % n_runs,
+        "methodology": "taskset-pinned CPUs, tmpfs I/O, persistent runners "
+                       "with one full-size untimed warmup per level, "
+                       "INTERLEAVED N/4N timed pairs (median of %d), "
+                       "per-iteration walls from the metrics table, per-run "
+                       "steal jiffies recorded" % n_runs,
         "N": {"executors": 1, "cores": EXEC_CORES,
               "median_urls_per_sec": med1,
-              "best_urls_per_sec": best1, "runs": r1["runs"]},
+              "best_urls_per_sec": best1, "runs": r1},
         "4N": {"executors": 4, "cores": 4 * EXEC_CORES,
                "median_urls_per_sec": med4,
-               "best_urls_per_sec": best4, "runs": r4["runs"]},
+               "best_urls_per_sec": best4, "runs": r4},
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_pairs": pair_effs,
+        "scaling_efficiency_pair_median": round(
+            statistics.median(pair_effs), 3),
         "scaling_efficiency_best": round((best4 / best1) / 4, 3),
+        "fat_iteration_rows_threshold": FAT_ROWS,
+        "fat_urls_per_sec": {"N": round(fat_rate1, 1),
+                             "4N": round(fat_rate4, 1)},
+        "scaling_efficiency_fat": round((fat_rate4 / fat_rate1) / 4, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
         "hardware_context": (

@@ -497,16 +497,15 @@ class CrawlEngine:
             .withColumn("read_size", rd_col)
             .withColumn("write_size", wr_col)
         )
-        if self.custom_status_filters or self.custom_load_filters:
+        custom = bool(self.custom_status_filters or self.custom_load_filters)
+        if custom:
             fetched = self._apply_custom_fetch_filters(fetched)
         fetched = (
             # precomputed at persist-build time (after custom filters — the
             # robots-body predicate must see the FINAL action) so the
             # downstream consumers (fetch_log writer, chain-input resp rows)
             # read these tiny columns from the cache instead of decoding the
-            # html column — the cache is columnar, so pruning html out of
-            # those scans removes the iteration's biggest repeated byte
-            # stream
+            # html column
             fetched.withColumn("body_bytes", F.length("html").cast("long"))
             .withColumn(
                 "robots_body",
@@ -516,13 +515,26 @@ class CrawlEngine:
                 ),
             )
         )
+        # SLIM persist: html is consumed by exactly one downstream path (the
+        # extract stage), so storing it in the block-manager cache pays a
+        # full memory-bandwidth round trip (write ~#ready x body bytes, read
+        # it once) that measures FLAT from 1 to 4 executors on a shared-
+        # memory box. Drop html from the cached plan and let the extract
+        # branch recompute its slice from the cheap cached-pages SMJ
+        # (measured ~0.5 s) — body bytes then stream straight from the join
+        # into the Arrow extract crossing without ever being stored. With
+        # custom load filters the full row (html included) must survive the
+        # filter crossing, so that path keeps the fat persist.
+        fetched_full = fetched
+        if not custom:
+            fetched = fetched.drop("html")
         fetched.persist()
         barrier(fetched, "fetch+classify")
 
         # --- parse + expand, fused with canonicalization — ONE Python
         #     crossing (FollowLinks, select_task_expanders.rs:37-51 +
         #     Link::new join/strip, types.rs:438-443)
-        to_parse = fetched.filter(
+        to_parse = fetched_full.filter(
             (F.col("action") == "processed")
             & F.col("target").isin(*FOLLOW_TARGETS)
         ).select(
