@@ -36,10 +36,12 @@ Methodology notes (each item is load-bearing for honest numbers):
 - **tmpfs I/O**: corpus, engine tables, and spark.local.dir live on
   /dev/shm — the sandbox's /tmp is a virtual disk with high run-to-run
   variance that would otherwise dominate the comparison.
-- **full-size warmup**: each level runs ONE UNTIMED full-size crawl first.
+- **full-size warmup**: each level runs TWO UNTIMED full-size crawls first.
   A thin warmup leaves the distributed plan's JIT/codegen cold, and the
   first timed run then pays ~2x (measured: cold 3.2k urls/s vs warm 6.9-8.9k
-  at 16 vCPUs) — charging JIT to the small level skews the ratio.
+  at 16 vCPUs); after ONE warmup a ~10-15% residual warm-in remains
+  (measured N walls 387→215→208→185→187s) — charging warm-in to either
+  level skews the ratio.
 - **per-iteration walls**: each run also reports (iter, n_ready, wall_ms)
   from the engine's metrics table, so efficiency decomposes into the
   thin-iteration floor (fixed per-iteration costs: job launch, driver
@@ -246,9 +248,13 @@ def main():
     lvl1 = Level(1, "28-31", pages_path, n_hosts, max_iters)
     lvl4 = Level(4, "0-15", pages_path, n_hosts, max_iters)
     try:
-        # one untimed full-size warmup per level (JIT/codegen at real scale)
-        lvl1.run_once("warm", record=False)
-        lvl4.run_once("warm", record=False)
+        # TWO untimed full-size warmups per level: measured on this VM the
+        # first timed run after a single warmup still pays a ~10-15% warm-in
+        # (JIT tiers, page cache, python worker reuse) — e.g. N walls
+        # 387→215→208→185→187s across runs with one warmup
+        for _ in range(2):
+            lvl1.run_once("warm", record=False)
+            lvl4.run_once("warm", record=False)
         # interleaved timed pairs: adjacent runs see the same VM weather
         for i in range(n_runs):
             lvl1.run_once(f"r{i}")
@@ -287,10 +293,11 @@ def main():
                            EXEC_HEAP_MB)
         ),
         "methodology": "taskset-pinned CPUs, tmpfs I/O, persistent runners "
-                       "with one full-size untimed warmup per level, "
+                       "with two full-size untimed warmups per level, "
                        "INTERLEAVED N/4N timed pairs (median of %d), "
-                       "per-iteration walls from the metrics table, per-run "
-                       "steal jiffies recorded" % n_runs,
+                       "full-iteration walls (fetch through commit) from "
+                       "the metrics table, per-run steal jiffies recorded"
+                       % n_runs,
         "N": {"executors": 1, "cores": EXEC_CORES,
               "median_urls_per_sec": med1,
               "best_urls_per_sec": best1, "runs": r1},

@@ -813,7 +813,7 @@ class CrawlEngine:
             remaining=remaining,
             fetch_log=fetch_log,
             counts_resolver=resolve_counts,
-            wall_ms=int((time.time() - t0) * 1000),
+            iter_t0=t0,
             finish_reason="SoftTimeout" if drain else "Complete",
         )
         mark("commit+counts")
@@ -984,7 +984,7 @@ class CrawlEngine:
 
     def _commit_chain_out(self, chain_out, it, remaining, fetch_log,
                           counts=None, counts_resolver=None,
-                          wall_ms=0, finish_reason="Complete",
+                          iter_t0=None, finish_reason="Complete",
                           touched_shards=None):
         """Commit an iteration. Every write is O(this iteration's work):
 
@@ -1169,6 +1169,13 @@ class CrawlEngine:
         dedup_stats = getattr(self, "_dedup_stats", {})
         io_bytes = getattr(self, "_io_bytes", {})
         n_ready = sum(counts.values())
+        # wall measured HERE — after the table writers and the counts
+        # resolution — so per-iteration walls in the metrics table cover the
+        # full iteration (fetch→chain→commit), not just the plan-build part;
+        # scaling analyses (bench_scaling.py fat-iteration split) depend on it
+        wall_ms = (
+            int((time.time() - iter_t0) * 1000) if iter_t0 is not None else 0
+        )
         row = [
             it,
             n_ready,
