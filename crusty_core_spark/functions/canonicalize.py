@@ -36,8 +36,16 @@ from pyspark.sql import types as T
 _DEFAULT_PORTS = {"http": 80, "https": 443, "ftp": 21, "ws": 80, "wss": 443}
 
 
-def canonicalize_url(href: str | None, base: str | None = None) -> str | None:
-    """Pure canonicalizer. Returns the canonical string or None."""
+def canonicalize_url_host(
+    href: str | None, base: str | None = None
+) -> tuple[str, str] | None:
+    """Canonicalize and return ``(canonical_url, host)`` or None.
+
+    The host is the one embedded in the canonical netloc — byte-identical
+    to ``urlsplit(canonical_url).hostname`` (lowercased, stripped, no
+    port/userinfo) without paying a second urlsplit. The fused extract
+    stage re-splits every emitted link otherwise (~20 links/page — the
+    second split was ~10% of the whole extract crossing)."""
     if href is None:
         return None
     href = href.strip()
@@ -70,7 +78,13 @@ def canonicalize_url(href: str | None, base: str | None = None) -> str | None:
         else:
             # query present but not k=v shaped (e.g. "?flag") — keep verbatim
             query = parts.query
-    return urlunsplit((scheme, netloc, path, query, ""))
+    return urlunsplit((scheme, netloc, path, query, "")), host
+
+
+def canonicalize_url(href: str | None, base: str | None = None) -> str | None:
+    """Pure canonicalizer. Returns the canonical string or None."""
+    res = canonicalize_url_host(href, base)
+    return None if res is None else res[0]
 
 
 def _canon_batch(hrefs: pd.Series, bases: pd.Series) -> pd.Series:

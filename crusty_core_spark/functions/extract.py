@@ -199,9 +199,7 @@ def expand_document(doc: dict, task: dict, base: str, expanders) -> list[dict]:
     Emission order = expander order = ctx.push_links order
     (task_scheduler.rs:82-86); unparseable hrefs are dropped (Task::new parse
     failure); alt/text are trimmed (types.rs:448-449)."""
-    from urllib.parse import urlsplit
-
-    from crusty_core_spark.functions.canonicalize import canonicalize_url
+    from crusty_core_spark.functions.canonicalize import canonicalize_url_host
 
     out: list[dict] = []
     for exp in expanders:
@@ -210,13 +208,14 @@ def expand_document(doc: dict, task: dict, base: str, expanders) -> list[dict]:
         except Exception:
             continue  # expander errors are non-fatal (task_scheduler.rs:67-70)
         for link in emitted:
-            u = canonicalize_url(link.get("href"), base)
-            if u is None:
+            uh = canonicalize_url_host(link.get("href"), base)
+            if uh is None:
                 continue
+            u, host = uh
             out.append(
                 {
                     "url": u,
-                    "host": (urlsplit(u).hostname or ""),
+                    "host": host,
                     "rel": link.get("rel") or "",
                     "alt": (link.get("alt") or "").strip(),
                     "text": (link.get("text") or "").strip(),
@@ -236,6 +235,9 @@ def _extract_batches(
     user_extract=None,
     user_cols: list[str] | None = None,
     parser=None,
+    *,
+    emit_title: bool = True,
+    emit_text: bool = True,
 ) -> Iterator[pd.DataFrame]:
     if expanders is None:
         from crusty_core_spark.operators.expanders import DEFAULT_EXPANDERS
@@ -250,8 +252,19 @@ def _extract_batches(
             for i, h in enumerate(pdf[html_col].tolist())
         ]
         out = pdf.drop(columns=[html_col])
-        out["title"] = pd.Series([r["title"] for r in rows], dtype=object).values
-        out["text"] = pd.Series([r["text"] for r in rows], dtype=object).values
+        # title/text are skippable OUTPUTS, not skippable work: the parser
+        # still extracts them (expanders/user hooks read the full doc), but
+        # a consumer that never reads them (the engine with fetch_log detail
+        # off) shouldn't pay their Arrow serialization — text alone is
+        # ~page-text × frontier bytes per iteration
+        if emit_title:
+            out["title"] = pd.Series(
+                [r["title"] for r in rows], dtype=object
+            ).values
+        if emit_text:
+            out["text"] = pd.Series(
+                [r["text"] for r in rows], dtype=object
+            ).values
         if canonicalize_base is not None:
             bases = pdf[canonicalize_base].tolist()
             depths = pdf["depth"].tolist() if "depth" in pdf else [0] * len(rows)
@@ -333,6 +346,8 @@ def extract_pages_canonical(
     user_extract=None,
     user_schema: T.StructType | str | None = None,
     parser=None,
+    emit_title: bool = True,
+    emit_text: bool = True,
 ) -> DataFrame:
     """Fused parse + expand + canonicalize: one Python crossing.
 
@@ -356,17 +371,16 @@ def extract_pages_canonical(
     keep = [f for f in df.schema.fields if f.name != html_col]
     out_schema = T.StructType(
         list(keep)
-        + [
-            T.StructField("title", T.StringType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("links_canon", CANON_LINK_TYPE),
-        ]
+        + ([T.StructField("title", T.StringType())] if emit_title else [])
+        + ([T.StructField("text", T.StringType())] if emit_text else [])
+        + [T.StructField("links_canon", CANON_LINK_TYPE)]
         + (list(user_schema.fields) if user_schema else [])
     )
     return df.mapInPandas(
         lambda it: _extract_batches(
             it, html_col, enc_col, base_col, expanders, user_extract,
-            user_cols, parser
+            user_cols, parser,
+            emit_title=emit_title, emit_text=emit_text,
         ),
         schema=out_schema,
     )

@@ -556,6 +556,11 @@ class CrawlEngine:
             user_extract=self.user_extract,
             user_schema=self.user_extract_schema,
             parser=self.parser,
+            # title feeds fetch_log only in detail mode; text has no engine
+            # consumer at all — skipping them cuts the Arrow crossing's
+            # return payload by ~the page text volume of the iteration
+            emit_title=bool(cfg.fetch_log_detail),
+            emit_text=False,
         )
         if multi_read:
             parsed.persist()
@@ -783,6 +788,16 @@ class CrawlEngine:
             self._counts_pool = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="counts"
             )
+        # ONE materialization wave BEFORE fanning out the counts collect and
+        # the commit writers. Concurrent jobs racing to compute the shared
+        # persisted plans serialize on executor block locks — a task blocked
+        # on an in-progress cached block still occupies its slot, so the
+        # fan-out wastes cores exactly when parallelism is highest (event-log
+        # measured: the counts job alone held 171 task-seconds of blocked
+        # slots at 4 executors vs 27 at 1). chain_out is the DAG sink — one
+        # count() runs fetch→extract→dedup→chain fully parallel with zero
+        # lock contention, and every downstream job then reads warm cache.
+        chain_out.count()
         counts_fut = self._counts_pool.submit(count_df.collect)
 
         def resolve_counts():
