@@ -55,7 +55,8 @@ Methodology notes (each item is load-bearing for honest numbers):
   (urls_processed and url_seen equality is asserted per run).
 
 Usage: python bench_scaling.py [n_hosts] [pages_per_host] [max_iters] [n_runs]
-Writes BENCH_SCALING.json and prints one JSON line.
+                               [out_json]
+Writes BENCH_SCALING.json (or ``out_json``) and prints one JSON line.
 """
 
 from __future__ import annotations
@@ -227,6 +228,7 @@ def main():
     ppg = int(sys.argv[2]) if len(sys.argv) > 2 else 40
     max_iters = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     n_runs = int(sys.argv[4]) if len(sys.argv) > 4 else 5
+    out_json = sys.argv[5] if len(sys.argv) > 5 else "/root/repo/BENCH_SCALING.json"
 
     from crusty_core_spark.session import get_spark
     from crusty_core_spark.sources.datagen import CorpusSpec, gen_pages_spark
@@ -325,7 +327,7 @@ def main():
             "run)."
         ),
     }
-    with open("/root/repo/BENCH_SCALING.json", "w") as f:
+    with open(out_json, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
     shutil.rmtree(SHM, ignore_errors=True)
