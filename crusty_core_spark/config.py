@@ -86,6 +86,14 @@ class CrawlConfig:
     #: analogue). Bounds the per-file open cost that would otherwise grow
     #: one file per touching iteration forever. 0/None disables.
     compact_max_files: int | None = 64
+    #: retained history depth: each table keeps its newest N snapshots and
+    #: the workdir keeps its newest N checkpoints; older manifest entries
+    #: are expired and unreferenced data dirs deleted every iteration
+    #: (TableIO expire_snapshots/expire_checkpoints — the Iceberg
+    #: expire_snapshots + remove_orphan_files analogue). Without it the
+    #: manifest grows O(iterations^2) and is rewritten per commit. Resume
+    #: and rollback stay valid within the window. 0/None disables.
+    snapshot_keep: int | None = 8
     seed: int = 42
 
     def resolved_local_workers(self) -> int:

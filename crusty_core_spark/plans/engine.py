@@ -931,16 +931,21 @@ class CrawlEngine:
         iteration that triggers nothing pays nothing. chain keeps its most
         recent data dir unmerged — _pending_df's read_last_append contract
         depends on it."""
-        k = self.cfg.compact_max_files
-        if not k:
-            return
         io = self.io
-        io.compact_partitions("url_seen", k)
-        io.compact_appends("chain", k, keep_last=1)
-        if io.exists("fetch_log"):
-            io.compact_appends("fetch_log", k, keep_last=1)
-        if io.exists("job_log"):
-            io.compact_appends("job_log", k, keep_last=1)
+        k = self.cfg.compact_max_files
+        if k:
+            io.compact_partitions("url_seen", k)
+            io.compact_appends("chain", k, keep_last=1)
+            if io.exists("fetch_log"):
+                io.compact_appends("fetch_log", k, keep_last=1)
+            if io.exists("job_log"):
+                io.compact_appends("job_log", k, keep_last=1)
+        # bound manifest/checkpoint history (O(n^2) growth otherwise) and
+        # drop data dirs nothing retained references — see config.snapshot_keep
+        keep = self.cfg.snapshot_keep
+        if keep:
+            io.expire_checkpoints(keep)
+            io.expire_snapshots(keep)
 
     def _apply_custom_fetch_filters(self, fetched: DataFrame) -> DataFrame:
         """status_filters::Filter / load_filters::Filter extension points.

@@ -611,6 +611,82 @@ class TableIO:
         t["current"] = snapshot
         self._write_manifest()
 
+    # ---------- snapshot / checkpoint expiry ----------
+    #
+    # Every commit adds a snapshot entry holding the table's FULL dir list
+    # (or partition map), and every iteration freezes a checkpoint of the
+    # whole manifest — without a lifecycle, the manifest grows O(n^2) in
+    # commits and is rewritten on every one of them; at 10^5 iterations it
+    # is unwritable. These are the Iceberg expire_snapshots /
+    # remove_orphan_files analogue: bound retained history, then delete
+    # data dirs nothing retained references. Time travel / rollback remain
+    # valid within the retention window only.
+
+    def expire_checkpoints(self, keep_last: int) -> list[str]:
+        """Delete all but the newest ``keep_last`` checkpoint files
+        (labels sort lexicographically = chronologically). Returns the
+        deleted paths."""
+        cks = self.list_checkpoints()
+        drop = cks[:-keep_last] if keep_last else cks
+        for p in drop:
+            os.remove(p)
+        return drop
+
+    def expire_snapshots(self, keep_last: int, gc_files: bool = True) -> dict:
+        """Keep each table's newest ``keep_last`` snapshots in the manifest;
+        with ``gc_files`` also delete data dirs referenced by neither the
+        retained snapshots nor any surviving checkpoint. Must not run
+        concurrently with writers (the engine calls it from its
+        single-threaded maintenance step). Returns {table: n_expired} plus
+        a ``_dirs_removed`` total."""
+        dropped: dict = {}
+        with self._lock:
+            for name, t in self._manifest["tables"].items():
+                keep_from = t["current"] - keep_last + 1
+                old = [
+                    k for k in t["snapshots"]
+                    if int(k) < keep_from and int(k) != t["current"]
+                ]
+                for k in old:
+                    del t["snapshots"][k]
+                dropped[name] = len(old)
+            self._write_manifest()
+        if not gc_files:
+            return dropped
+
+        referenced: dict[str, set] = {}
+
+        def add_refs(manifest: dict) -> None:
+            for name, t in manifest["tables"].items():
+                refs = referenced.setdefault(name, set())
+                for snap in t["snapshots"].values():
+                    rels = (
+                        [r for rr in snap.values() for r in rr]
+                        if isinstance(snap, dict)
+                        else snap
+                    )
+                    for rel in rels:
+                        # partition rels look like "data-000007/_pc=3":
+                        # GC operates on whole top-level data dirs
+                        refs.add(rel.split("/", 1)[0])
+
+        add_refs(self._manifest)
+        for p in self.list_checkpoints():
+            with open(p) as f:
+                add_refs(json.load(f)["manifest"])
+        removed = 0
+        for name in self._manifest["tables"]:
+            tdir = os.path.join(self.root, name)
+            if not os.path.isdir(tdir):
+                continue
+            refs = referenced.get(name, set())
+            for d in os.listdir(tdir):
+                if d.startswith("data-") and d not in refs:
+                    shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+                    removed += 1
+        dropped["_dirs_removed"] = removed
+        return dropped
+
     # ---------- checkpoints (atomic multi-table) ----------
 
     def checkpoint(self, label: str, extra: dict | None = None) -> str:
