@@ -45,6 +45,13 @@ class CrawlConfig:
     #: iterations the crawl stops EXPANDING (no parse/schedule of new links)
     #: but keeps draining already-scheduled tasks; None = no soft timeout
     soft_timeout_iters: int | None = None
+    # live-fetch client timeouts (operators/fetcher.UrllibFetcher), mirroring
+    # the reference's NetworkingProfile.connect_timeout (config.rs:186,225 —
+    # 5 s) and CrawlingSettings.status_timeout / load_timeout
+    # (config.rs:304-305,334-335 — 5 s / 10 s)
+    connect_timeout_ms: int = 5_000
+    status_timeout_ms: int = 5_000
+    load_timeout_ms: int = 10_000
     # engine
     max_iterations: int = 1000
     use_bloom: bool = True  # Bloom-shard prefilter in front of the exact set

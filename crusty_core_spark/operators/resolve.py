@@ -83,6 +83,7 @@ def resolver_stage(
     resolver,
     extra_cidrs: tuple[str, ...] = (),
     host_col: str = "host",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Adds ``resolve_failed`` via a pluggable point resolver — the
     vectorized twin of the reference's Resolver trait
@@ -93,17 +94,30 @@ def resolver_stage(
     reserved-subnet blacklist — resolution fails when every address is
     filtered out, exactly the dim-table join's semantics. The resolver must
     be cloudpickle-able; a deployment resolver would wrap a real DNS client.
+
+    ``cache_key``: stable identity for the per-worker cache (the engine
+    passes one token per engine instance). Without it the key is derived
+    from the pickled resolver bytes; if the resolver doesn't pickle, a fresh
+    uuid is used — losing cross-call caching but never sharing stale results
+    between two different resolvers in one long-lived worker (ADVICE r3).
+    The blacklist CIDRs are always part of the key: same resolver + a
+    different blacklist must not reuse cached verdicts.
     """
     import hashlib
     import pickle
+    import uuid
 
     from pyspark.sql import types as T2
 
-    try:
-        rkey = hashlib.md5(pickle.dumps(resolver)).hexdigest()
-    except Exception:
-        rkey = f"{type(resolver).__module__}.{type(resolver).__qualname__}"
     extra = tuple(extra_cidrs)
+    if cache_key is not None:
+        base = str(cache_key)
+    else:
+        try:
+            base = hashlib.md5(pickle.dumps(resolver)).hexdigest()
+        except Exception:
+            base = uuid.uuid4().hex
+    rkey = (base, extra)
     schema = T2.StructType(
         list(ready.schema.fields)
         + [T2.StructField("resolve_failed", T2.BooleanType())]
@@ -138,6 +152,7 @@ def resolve_ready(
     extra_cidrs: tuple[str, ...] = (),
     host_col: str = "host",
     resolver=None,
+    resolver_cache_key: str | None = None,
 ) -> DataFrame:
     """Adds ``resolve_failed`` to the ready set.
 
@@ -149,7 +164,8 @@ def resolve_ready(
     task error)."""
     if hosts is None:
         if resolver is not None:
-            return resolver_stage(ready, resolver, extra_cidrs, host_col)
+            return resolver_stage(ready, resolver, extra_cidrs, host_col,
+                                  cache_key=resolver_cache_key)
         return ready.withColumn("resolve_failed", F.lit(False))
     usable = usable_addrs_udf(extra_cidrs)
     h = F.broadcast(

@@ -88,10 +88,12 @@ class CrawlEngine:
         #: stage, see _fetch_stage)
         if pages is None:
             if fetcher is None:
-                raise ValueError(
-                    "CrawlEngine needs a pages table or a fetcher "
-                    "(pages=None requires with_fetcher)"
-                )
+                # live-crawl one-liner: default to the built-in stdlib HTTP
+                # client (operators/fetcher.UrllibFetcher — the reference's
+                # client factory re-expressed, crawler.rs:189-245)
+                from crusty_core_spark.operators.fetcher import UrllibFetcher
+
+                fetcher = UrllibFetcher(self.cfg)
             self.pages = None
         else:
             self.pages = pages.select(
@@ -146,6 +148,12 @@ class CrawlEngine:
         #: per-worker DNS cache (operators/resolve.py); the driver-local path
         #: keeps its own driver-side cache. Must be cloudpickle-able.
         self.resolver = resolver
+        # stable per-engine cache identity for the resolver's per-worker DNS
+        # cache: two engines in one Spark session with different resolvers/
+        # blacklists must never share cached verdicts (ADVICE r3)
+        import uuid as _uuid
+
+        self._resolver_key = _uuid.uuid4().hex if resolver is not None else None
         # fork + warm the local-path worker pool at construction — the
         # one-time fork/COW/import cost is setup (like JVM startup), never
         # part of a crawl iteration
@@ -444,7 +452,8 @@ class CrawlEngine:
         #     task_processor.rs:117-126) then fetch = equi-join vs pages
         from crusty_core_spark.operators.resolve import resolve_ready
 
-        ready = resolve_ready(ready, self.hosts, resolver=self.resolver)
+        ready = resolve_ready(ready, self.hosts, resolver=self.resolver,
+                              resolver_cache_key=self._resolver_key)
         fetched = self._fetch_stage(ready)
 
         # --- status filters + size cap, as bulk masks (exact stage order:
@@ -524,9 +533,13 @@ class CrawlEngine:
         # (measured ~0.5 s) — body bytes then stream straight from the join
         # into the Arrow extract crossing without ever being stored. With
         # custom load filters the full row (html included) must survive the
-        # filter crossing, so that path keeps the fat persist.
+        # filter crossing, so that path keeps the fat persist. Live-crawl
+        # mode (pages=None) also keeps the fat persist: the extract branch's
+        # recompute would re-run the user's fetcher — a second network hit
+        # per URL, and a non-deterministic fetcher could diverge from the
+        # persisted classification (ADVICE r3).
         fetched_full = fetched
-        if not custom:
+        if not custom and self.pages is not None:
             fetched = fetched.drop("html")
         fetched.persist()
         barrier(fetched, "fetch+classify")
@@ -900,17 +913,25 @@ class CrawlEngine:
 
         def fetch_batches(batches):
             for pdf in batches:
+                # JustResolveDNS tasks stop after resolve — the reference
+                # never issues an HTTP request for them
+                # (task_processor.rs:285-292); resolve-failed rows never
+                # connected (ADVICE r3)
                 urls = sorted(
                     {
                         u
-                        for u, rf in zip(pdf["url"], pdf["resolve_failed"])
-                        if not rf
+                        for u, rf, tg in zip(
+                            pdf["url"], pdf["resolve_failed"], pdf["target"]
+                        )
+                        if not rf and tg != "JustResolveDNS"
                     }
                 )
                 res = fetcher(urls) if urls else None
                 if res is None or not len(res):
                     res = pd.DataFrame(columns=["url", *page_cols])
-                res = res.copy()
+                # a fetcher returning duplicate urls would multiply rows
+                # through the left merge below — keep the first (ADVICE r3)
+                res = res.copy().drop_duplicates(subset=["url"], keep="first")
                 for c in page_cols:
                     if c not in res.columns:
                         res[c] = None

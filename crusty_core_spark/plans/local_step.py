@@ -420,11 +420,16 @@ def _step_local_inner(engine, it: int) -> dict:
             )
         else:
             rf = pd.Series(False, index=ready.index)
-        fetch_urls = sorted(set(ready["url"][~rf].tolist()))
-        pages_pd = engine.fetcher(fetch_urls)
+        # JustResolveDNS tasks stop after resolve — no HTTP request
+        # (task_processor.rs:285-292), mirroring the distributed
+        # _fetch_stage (ADVICE r3)
+        want = ~rf & (ready["target"] != "JustResolveDNS")
+        fetch_urls = sorted(set(ready["url"][want].tolist()))
+        pages_pd = engine.fetcher(fetch_urls) if fetch_urls else None
         if pages_pd is None or not len(pages_pd):
             pages_pd = pd.DataFrame(columns=["url", *page_cols])
-        pages_pd = pages_pd.copy()
+        # duplicate urls from the fetcher would multiply rows via the merge
+        pages_pd = pages_pd.copy().drop_duplicates(subset=["url"], keep="first")
         for c in page_cols:
             if c not in pages_pd.columns:
                 pages_pd[c] = None
@@ -452,7 +457,8 @@ def _step_local_inner(engine, it: int) -> dict:
         # side of a left join; the LocalRelation's known tiny size lets AQE
         # pick the build side
         fetched = (
-            resolve_ready(ready_sdf, engine.hosts, resolver=engine.resolver)
+            resolve_ready(ready_sdf, engine.hosts, resolver=engine.resolver,
+                          resolver_cache_key=engine._resolver_key)
             .join(engine.pages, on="url", how="left")
             .select(*fetch_cols)
             .toPandas()

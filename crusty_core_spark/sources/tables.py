@@ -547,50 +547,93 @@ class TableIO:
         pq.write_table(tbl, os.path.join(path, "part-00000.parquet"))
         return d, tbl.num_rows
 
+    def _compacted_set(self, name: str) -> set:
+        """Dir names that are outputs of earlier compactions (the 'big
+        generation'). Tiered compaction never re-merges these on every
+        trigger — only when the compacted prefix itself exceeds the
+        threshold — so total rewrite bytes over a long crawl are
+        O(n·log n / k) instead of O(n²/k) (ADVICE r3; the Iceberg analogue
+        is bin-pack rewrite skipping already-compacted files)."""
+        return set(self._tbl(name).get("compacted", []))
+
+    def _record_compacted(self, name: str, new_dir: str) -> None:
+        t = self._tbl(name)
+        comp = set(t.get("compacted", []))
+        comp.add(new_dir)
+        t["compacted"] = sorted(comp)
+
+    @staticmethod
+    def _split_prefix(rels: list[str], comp: set) -> tuple[list, list]:
+        """(compacted prefix, fresh tail) of an in-read-order rel list."""
+        i = 0
+        while i < len(rels) and rels[i].split("/", 1)[0] in comp:
+            i += 1
+        return rels[:i], rels[i:]
+
     def compact_partitions(self, name: str, max_files: int) -> int | None:
-        """Rewrite every partition whose dir-list exceeds ``max_files``
-        into a single file; untouched partitions keep their dir lists.
-        Returns the new snapshot id, or None if nothing needed compacting
-        (decided from the manifest alone — no filesystem calls)."""
+        """Rewrite partitions whose FRESH (not previously compacted) dir
+        count exceeds ``max_files`` — the compacted prefix is kept as-is and
+        only re-merged when it alone exceeds ``max_files`` (generation-
+        tiered, see _compacted_set). Untouched partitions keep their dir
+        lists. Returns the new snapshot id, or None if nothing needed
+        compacting (decided from the manifest alone — no filesystem calls)."""
         with self._lock:
-            parts = self._parts(name)
-            todo = {v: list(rels) for v, rels in parts.items()
-                    if len(rels) > max_files}
+            comp = self._compacted_set(name)
+            todo: dict = {}
+            for v, rels in self._parts(name).items():
+                prefix, fresh = self._split_prefix(list(rels), comp)
+                if len(prefix) > max_files:
+                    todo[v] = (prefix + fresh, [])  # merge the whole list
+                elif len(fresh) > max_files:
+                    todo[v] = (fresh, prefix)  # merge fresh only
         if not todo:
             return None
         written = {}
-        for v, rels in todo.items():
-            d, _ = self._compact_rels_to_dir(name, rels)
-            written[v] = f"{d}"
+        for v, (merge_rels, prefix) in todo.items():
+            d, _ = self._compact_rels_to_dir(name, merge_rels)
+            written[v] = (f"{d}", prefix, merge_rels)
         with self._lock:
             parts = {k: list(vv) for k, vv in self._parts(name).items()}
-            for v, rel in written.items():
+            for v, (rel, prefix, merge_rels) in written.items():
                 # the partition may have gained appends while we rewrote —
                 # keep any rels beyond the snapshot we compacted
-                tail = parts[v][len(todo[v]):]
-                parts[v] = [rel] + tail
+                tail = parts[v][len(prefix) + len(merge_rels):]
+                parts[v] = prefix + [rel] + tail
+                self._record_compacted(name, rel)
             return self._commit_parts(
                 name, parts, T.StructType.fromJson(self._tbl(name)["schema"])
             )
 
     def compact_appends(self, name: str, max_dirs: int,
                         keep_last: int = 1) -> int | None:
-        """Merge an append table's oldest data dirs into one when the dir
-        count exceeds ``max_dirs``. The most recent ``keep_last`` dirs are
-        never merged, preserving read_last_append semantics."""
+        """Merge an append table's FRESH (not previously compacted) oldest
+        data dirs into one when the total dir count exceeds ``max_dirs``;
+        earlier compaction outputs form a prefix that is only re-merged when
+        it alone exceeds ``max_dirs`` (generation-tiered, see
+        _compacted_set). The most recent ``keep_last`` dirs are never
+        merged, preserving read_last_append semantics."""
         with self._lock:
             t = self._tbl(name)
             dirs = list(t["snapshots"].get(str(t["current"]), []))
-        head = dirs[: len(dirs) - keep_last] if keep_last else dirs
-        if len(dirs) <= max_dirs or len(head) < 2:
+            comp = self._compacted_set(name)
+        if len(dirs) <= max_dirs:
             return None
-        d, _ = self._compact_rels_to_dir(name, head)
+        head = dirs[: len(dirs) - keep_last] if keep_last else list(dirs)
+        prefix, fresh = self._split_prefix(head, comp)
+        if len(prefix) > max_dirs:
+            to_merge, prefix = prefix + fresh, []
+        elif len(fresh) >= 2:
+            to_merge = fresh
+        else:
+            return None
+        d, _ = self._compact_rels_to_dir(name, to_merge)
         with self._lock:
             t = self._tbl(name)
             cur = list(t["snapshots"].get(str(t["current"]), []))
             tail = cur[len(head):]  # appends that landed meanwhile + kept
+            self._record_compacted(name, d)
             return self._commit(
-                name, [d] + tail,
+                name, prefix + [d] + tail,
                 T.StructType.fromJson(t["schema"]),
             )
 

@@ -185,11 +185,14 @@ def test_compaction_crawl_parity(spark, workdir):
         CrawlConfig(compact_max_files=1, local_iter_threshold=2),
     )
     assert _engine_state(base) == _engine_state(compacted)
-    # every append table is fully compacted (≤ 2 dirs: merged + last)
+    # every append table's dir count is bounded (tiered compaction, ADVICE
+    # r3: a compacted prefix of ≤ max_dirs+1 outputs + one fresh merge +
+    # the kept-last dir — bounded by O(max_dirs), no longer re-merging the
+    # whole head every trigger)
     t = compacted.io._tbl("chain")
-    assert len(t["snapshots"][str(t["current"])]) <= 2
+    assert len(t["snapshots"][str(t["current"])]) <= 4
     assert all(
-        len(r) <= 2 for r in compacted.io._parts("url_seen").values()
+        len(r) <= 3 for r in compacted.io._parts("url_seen").values()
     )
     # resume from the compacted checkpoint and compare final state
     res = CrawlEngine.resume(spark, pages_df(spark, rows),

@@ -190,15 +190,29 @@ def test_expire_snapshots_bounds_manifest_and_gcs_dirs(spark, workdir):
     assert removed > 0
     # current data reads identically after GC
     assert sorted(tuple(r) for r in io.read("t").collect()) == before
-    # every dir on disk is referenced by manifest or a kept checkpoint
+    # orphan-GC correctness: every dir left on disk is referenced by the
+    # live manifest or a surviving checkpoint — nothing unreferenced
+    # survived, nothing referenced was deleted (ADVICE r3: the old
+    # `or True` made this vacuous)
+    import json
+
     disk = {d for d in os.listdir(os.path.join(workdir, "t"))
             if d.startswith("data-")}
-    assert all(
-        any(rel.split("/", 1)[0] == d
-            for snap in t["snapshots"].values() for rel in snap)
-        or True  # checkpoints may also reference d — covered below
-        for d in disk
-    )
+    referenced = {
+        rel.split("/", 1)[0]
+        for snap in t["snapshots"].values()
+        for rel in snap
+    }
+    for ck_path in io.list_checkpoints():
+        with open(ck_path) as f:
+            ck_tables = json.load(f)["manifest"]["tables"]
+        for snap in ck_tables.get("t", {}).get("snapshots", {}).values():
+            rels = (
+                [r for rr in snap.values() for r in rr]
+                if isinstance(snap, dict) else snap
+            )
+            referenced |= {rel.split("/", 1)[0] for rel in rels}
+    assert disk <= referenced, f"orphan dirs survived GC: {disk - referenced}"
     # surviving checkpoints still restore and read (their dirs were kept)
     ck = io.list_checkpoints()[0]
     io2 = TableIO(spark, workdir)
@@ -220,3 +234,72 @@ def test_expire_snapshots_partitioned(spark, workdir):
     io.expire_snapshots(2)
     assert len(io._tbl("t")["snapshots"]) <= 2
     assert sorted(tuple(r) for r in io.read_partitions("t").collect()) == before
+
+
+def test_compact_appends_tiered_no_head_remerge(spark, workdir):
+    """Generation-tiered compaction (ADVICE r3): a later trigger merges only
+    the FRESH dirs — the earlier compaction output is kept verbatim, not
+    rewritten every ~max_dirs iterations — until the compacted prefix itself
+    exceeds the threshold, which forces one full merge."""
+    io = TableIO(spark, workdir)
+    n = 0
+
+    def add(k):
+        nonlocal n
+        for _ in range(k):
+            io.append("t", df(spark, [(n, f"v{n}")]))
+            n += 1
+
+    add(10)
+    assert io.compact_appends("t", max_dirs=4, keep_last=1) is not None
+    t = io._tbl("t")
+    head1 = t["snapshots"][str(t["current"])][0]
+    add(8)
+    assert io.compact_appends("t", max_dirs=4, keep_last=1) is not None
+    t = io._tbl("t")
+    dirs2 = t["snapshots"][str(t["current"])]
+    assert dirs2[0] == head1  # prior output untouched
+    assert len(dirs2) == 3  # old head + new merged fresh + kept last
+    expected = sorted((i, f"v{i}") for i in range(n))
+    assert sorted(tuple(r) for r in io.read("t").collect()) == expected
+    # grow the compacted prefix past max_dirs → one full re-merge collapses it
+    for _ in range(4):
+        add(8)
+        io.compact_appends("t", max_dirs=4, keep_last=1)
+    t = io._tbl("t")
+    dirs = t["snapshots"][str(t["current"])]
+    prefix = [d for d in dirs if d in set(t.get("compacted", []))]
+    assert len(prefix) <= 5  # bounded: full merge fired when prefix > max_dirs
+    expected = sorted((i, f"v{i}") for i in range(n))
+    assert sorted(tuple(r) for r in io.read("t").collect()) == expected
+
+
+def test_compact_partitions_tiered(spark, workdir):
+    """Partitioned twin: fresh appends past the threshold merge without
+    rewriting the partition's earlier compaction output."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    io = TableIO(spark, workdir)
+    schema = T.StructType.fromDDL("k long, v string, p int")
+    n = 0
+
+    def add(k):
+        nonlocal n
+        for _ in range(k):
+            io.append_partitions_pdf(
+                "t", pd.DataFrame({"k": [n], "v": [f"v{n}"], "p": [0]}),
+                "p", schema,
+            )
+            n += 1
+
+    add(10)
+    assert io.compact_partitions("t", max_files=4) is not None
+    head1 = io._parts("t")["0"][0]
+    add(6)
+    assert io.compact_partitions("t", max_files=4) is not None
+    rels = io._parts("t")["0"]
+    assert rels[0] == head1  # prior output untouched
+    assert len(rels) == 2
+    # per-partition read order preserved across tiers
+    assert list(io.read_partitions_local("t", [0])["k"]) == list(range(n))
