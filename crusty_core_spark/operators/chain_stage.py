@@ -111,7 +111,24 @@ def make_chain_fn(cfg, custom_filters: tuple = (), drain: bool = False):
                     # state above still mutates) but nothing new is scheduled
                     # (task_scheduler.rs:134-157)
                     return
-                for pos, c in enumerate(batch):
+                for pos, item in enumerate(batch):
+                    if not isinstance(item, Candidate):
+                        # SLIM rows (engine.step, counts-only mode): the
+                        # verdict for stateless decisions — scheme
+                        # rejection, no-follow skip, committed-seen skip —
+                        # was precomputed JVM-side and the row's string
+                        # payload nulled BEFORE the cogroup exchange. The
+                        # row still rides the batch at its exact position,
+                        # so take_while (term) drops it with the rest of
+                        # the remainder and the action counts stay
+                        # identical to the full fold.
+                        pa = _nn(getattr(item, "pre_action", None))
+                        if pa is not None:
+                            log_sched(job_id, parent_seq_num, item.url,
+                                      item.depth, pos, pa, "pre")
+                            continue
+                        item = to_cand(item)
+                    c = item
                     c.link_pos = pos
                     if not (c.url.startswith("http:")
                             or c.url.startswith("https:")):
@@ -160,7 +177,7 @@ def make_chain_fn(cfg, custom_filters: tuple = (), drain: bool = False):
 
                 # --- root scheduling (task_scheduler.rs:128-132, seq_num=0)
                 for r in roots:
-                    run_batch([to_cand(r)], 0, None, -1)
+                    run_batch([r], 0, None, -1)
 
                 # --- response processing in task_seq order
                 for r in resps:
@@ -193,8 +210,9 @@ def make_chain_fn(cfg, custom_filters: tuple = (), drain: bool = False):
                             if st.stashed_root is not None:  # re-emit (:101-103)
                                 batch.append(st.stashed_root)
                                 st.stashed_root = None
-                    for c in by_parent.get(int(r.task_seq), ()):
-                        batch.append(to_cand(c))
+                    # raw rows; run_batch converts lazily so SLIM rows
+                    # (pre_action set) never build a Candidate
+                    batch.extend(by_parent.get(int(r.task_seq), ()))
                     run_batch(batch, psn, r.url, int(r.task_seq))
 
             ns = st.to_row()

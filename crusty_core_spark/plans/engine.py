@@ -62,6 +62,26 @@ from crusty_core_spark.sources.tables import TableIO
 
 PAGE_COLS = ["url", "html", "status", "location", "content_type", "content_encoding"]
 
+#: in-flight deferred commits per workdir (join callables). A new engine
+#: taking over the same workdir IN-PROCESS (the kill/resume test pattern)
+#: joins the previous engine's deferred writers before touching the tables;
+#: a real process death needs nothing — the writer threads die with the
+#: process and resume rolls back to the last COMPLETE checkpoint, replaying
+#: the partially-committed iterations deterministically.
+_DEFERRED_JOIN_BY_WORKDIR: dict = {}
+
+
+def _drain_workdir(workdir: str) -> str:
+    """Join any in-flight deferred commits another in-process engine still
+    has against this workdir; returns the normalized registry key."""
+    import os as _os
+
+    key = _os.path.abspath(workdir)
+    prev_join = _DEFERRED_JOIN_BY_WORKDIR.pop(key, None)
+    if prev_join is not None:
+        prev_join()
+    return key
+
 
 class CrawlEngine:
     def __init__(
@@ -168,6 +188,10 @@ class CrawlEngine:
             self.local_thr: int | None = self._calibrate_threshold()
         else:
             self.local_thr = self.cfg.local_iter_threshold
+        self._workdir_key = _drain_workdir(workdir)
+        #: deferred-commit record of the previous iteration (see
+        #: _commit_chain_out defer=True / _join_deferred)
+        self._deferred = None
         self.io = TableIO(spark, workdir)
 
     def _calibrate_threshold(self) -> int:
@@ -278,6 +302,7 @@ class CrawlEngine:
             F.lit(None).cast("string").alias("content_encoding"),
             F.lit(None).cast("binary").alias("body"),
             F.lit(None).cast("string").alias("action"),
+            F.lit(None).cast("string").alias("pre_action"),
         )
         chain_out = run_chain_stage(chain_input, job_state, self.cfg,
                                     custom_filters=self.custom_task_filters)
@@ -336,6 +361,9 @@ class CrawlEngine:
         if thr and 0 < int(self.io.state.get("pending", 0)) <= int(thr):
             from crusty_core_spark.plans.local_step import step_local
 
+            # the local path reads/writes the tables directly (pyarrow) —
+            # the previous iteration's deferred commits must land first
+            self._join_deferred()
             self._last_step_local = True
             return step_local(self, int(self.io.state["iter"]) + 1)
         self._last_step_local = False
@@ -420,33 +448,6 @@ class CrawlEngine:
         else:
             ready = pending
             remaining = None
-
-        # --- touched-jobs-only state pruning: this iteration's chain touches
-        #     exactly the jobs with ready rows (candidates inherit their
-        #     parent's job_id), so the per-job state read/shuffle/write is
-        #     pruned to the touched job-buckets — O(touched), not O(all jobs).
-        #     The bucket set was computed by the PREVIOUS iteration's counts
-        #     collect and carried in the manifest (no extra Spark job; falls
-        #     back to a distinct over the compact pending set on old
-        #     checkpoints). Politeness mode accumulates (a superset is safe —
-        #     the semi-join below still prunes to touched jobs).
-        touched_buckets = self.io.state.get("pending_buckets")
-        if touched_buckets is None:
-            touched_buckets = [
-                r[0]
-                for r in pending.select(
-                    F.pmod(F.col("job_id"), F.lit(N_JOB_BUCKETS)).cast("int")
-                ).distinct().collect()
-            ]
-        # Every state row in a touched bucket rides through the chain stage:
-        # untouched jobs pass through the Python fold unmodified (their
-        # bucket's partition file is rewritten regardless, and an Arrow
-        # passthrough is cheaper than the broadcast-anti-join + re-scan it
-        # replaces) and come back tagged action="untouched", so the commit
-        # writes job_state straight from the cached chain output.
-        job_state = self.io.read_partitions(
-            "job_state", touched_buckets
-        ).select(*_STATE_COLS)
 
         # --- resolve (broadcast hosts join + IP blacklist;
         #     task_processor.rs:117-126) then fetch = equi-join vs pages
@@ -629,6 +630,47 @@ class CrawlEngine:
             cands_raw = cands_raw.limit(0)
         cands_raw.persist()  # probe, pos-shard collect, backstop all read it
 
+        # --- WAVE 1 + deferred-commit join: materialize fetch→classify→
+        #     extract→explode NOW, while the PREVIOUS iteration's deferred
+        #     table commits (job_state/url_seen/Bloom/fetch_log/job_log —
+        #     none of which this wave reads) finish on the executors/driver
+        #     underneath it. Only after both complete does the plan build
+        #     touch the manifest again (job_state partitions, url_seen
+        #     paths, Bloom snapshot). This pipelining removes most of the
+        #     commit phase from the iteration's critical path — the serial
+        #     floor the N→4N ratio pays 4x for (VERDICT r3 #1/#6).
+        cands_raw.count()
+        mark("wave1")
+        self._join_deferred()
+        mark("join_deferred")
+
+        # --- touched-jobs-only state pruning: this iteration's chain touches
+        #     exactly the jobs with ready rows (candidates inherit their
+        #     parent's job_id), so the per-job state read/shuffle/write is
+        #     pruned to the touched job-buckets — O(touched), not O(all jobs).
+        #     The bucket set was computed by the PREVIOUS iteration's counts
+        #     collect and carried in the manifest (no extra Spark job; falls
+        #     back to a distinct over the compact pending set on old
+        #     checkpoints). Politeness mode accumulates (a superset is safe —
+        #     the semi-join below still prunes to touched jobs).
+        touched_buckets = self.io.state.get("pending_buckets")
+        if touched_buckets is None:
+            touched_buckets = [
+                r[0]
+                for r in pending.select(
+                    F.pmod(F.col("job_id"), F.lit(N_JOB_BUCKETS)).cast("int")
+                ).distinct().collect()
+            ]
+        # Every state row in a touched bucket rides through the chain stage:
+        # untouched jobs pass through the Python fold unmodified (their
+        # bucket's partition file is rewritten regardless, and an Arrow
+        # passthrough is cheaper than the broadcast-anti-join + re-scan it
+        # replaces) and come back tagged action="untouched", so the commit
+        # writes job_state straight from the cached chain output.
+        job_state = self.io.read_partitions(
+            "job_state", touched_buckets
+        ).select(*_STATE_COLS)
+
         # --- dedup check flag (task_filters.rs:184-192; commit stays in the
         #     chain): Bloom-shard prefilter + shard-pruned exact backstop,
         #     or plain join
@@ -655,6 +697,45 @@ class CrawlEngine:
             .withColumn("body", F.lit(None).cast("binary"))
             .withColumn("action", F.lit(None).cast("string"))
         )
+        # SLIM the known-skip candidates before the chain exchange
+        # (counts-only mode): scheme rejection, the no-follow skip (filter
+        # #1, task_filters.rs:297-306) and the committed-seen skip (filter
+        # #3 via the precomputed seen_global flag) are stateless verdicts —
+        # precompute them JVM-side as ``pre_action`` and null the string
+        # payload (url/host/rel/alt/text) of those rows. On a dup-heavy fat
+        # iteration the majority of candidates are committed-seen, so this
+        # cuts the chain cogroup's shuffle volume by ~the dup ratio and
+        # skips their Candidate construction + chain_decide in the fold.
+        # EXACT semantics either way: the slim rows still ride their batch
+        # at their original positions (take_while/term drops them with the
+        # remainder; enumerate positions are unchanged) and the fold logs
+        # the precomputed action at the same point it would have decided it
+        # (operators/chain_stage.run_batch). Detail mode keeps full rows —
+        # its sched log records the urls.
+        # SPARK_CRAWL_NO_SLIM: measurement kill-switch for A/B-ing the
+        # slimming against the identical build (bench methodology)
+        if not cfg.sched_log_detail and not os.environ.get(
+            "SPARK_CRAWL_NO_SLIM"
+        ):
+            scheme_ok = F.col("url").startswith("http:") | F.col(
+                "url"
+            ).startswith("https:")
+            cands = cands.withColumn(
+                "pre_action",
+                F.when(~F.coalesce(scheme_ok, F.lit(False)), F.lit("rejected"))
+                .when(
+                    F.lower(F.coalesce(F.col("rel"), F.lit(""))) == "no-follow",
+                    F.lit("skip"),
+                )
+                .when(F.col("seen_global"), F.lit("skip")),
+            )
+            keep = F.col("pre_action").isNull()
+            for c in ("url", "host", "rel", "alt", "text"):
+                cands = cands.withColumn(c, F.when(keep, F.col(c)))
+        else:
+            cands = cands.withColumn(
+                "pre_action", F.lit(None).cast("string")
+            )
         if multi_read:
             cands.persist()  # feeds both the chain input and the n_links agg
         barrier(cands, "cands+bloom+seen")
@@ -680,6 +761,7 @@ class CrawlEngine:
             "content_encoding",
             F.col("robots_body").alias("body"),
             "action",
+            F.lit(None).cast("string").alias("pre_action"),
         )
         chain_input = resp_rows.unionByName(
             cands.select(*[f.name for f in resp_rows.schema.fields])
@@ -835,7 +917,7 @@ class CrawlEngine:
             }
 
         mark("materialize")
-        self._commit_chain_out(
+        deferred_futs = self._commit_chain_out(
             chain_out,
             it=it,
             remaining=remaining,
@@ -843,16 +925,12 @@ class CrawlEngine:
             counts_resolver=resolve_counts,
             iter_t0=t0,
             finish_reason="SoftTimeout" if drain else "Complete",
+            defer=True,
         )
         mark("commit+counts")
         resolved = resolve_counts()
         counts = resolved["counts"]
         new_buckets = resolved["buckets"]
-        chain_out.unpersist()
-        cands.unpersist()
-        cands_raw.unpersist()
-        parsed.unpersist()
-        fetched.unpersist()
         n_ready = sum(counts.values())
         pending = (
             int(self.io.state.get("pending", 0))
@@ -867,18 +945,56 @@ class CrawlEngine:
             new_buckets = sorted(
                 set(self.io.state.get("pending_buckets") or []) | set(new_buckets)
             )
-        self._maybe_compact()
         self.io.set_state(iter=it, pending=pending,
                           pending_buckets=sorted(new_buckets))
-        self.io.checkpoint(f"iter-{it:06d}")
+        # the slow, non-gating writers keep running in the background; the
+        # next distributed iteration joins them after its fetch/extract
+        # wave (maintenance + the frozen checkpoint run at the join — the
+        # checkpoint must contain the COMPLETE iteration). A crash before
+        # the join resumes from the previous checkpoint and replays this
+        # iteration deterministically — the exact crash model an
+        # intra-iteration crash already has.
+        self._deferred = {
+            "futures": deferred_futs,
+            "unpersist": [chain_out, cands, cands_raw, parsed, fetched],
+            "label": f"iter-{it:06d}",
+        }
+        _DEFERRED_JOIN_BY_WORKDIR[self._workdir_key] = self._join_deferred
         if prof:
-            mark("checkpoint")
+            mark("state")
             deltas = {
                 marks[i][0]: round(marks[i][1] - marks[i - 1][1], 2)
                 for i in range(1, len(marks))
             }
             print(f"[profile] iter={it} ready={n_ready} {deltas}", flush=True)
         return counts
+
+    def _join_deferred(self) -> None:
+        """Land the previous iteration's deferred commits, release its
+        caches, and finalize it (maintenance + frozen checkpoint).
+
+        Called from: the next distributed iteration AFTER its fetch/extract
+        materialization wave (the overlap window), the local fast path and
+        every public table reader BEFORE they touch the tables, and by a
+        new engine taking over this workdir in-process."""
+        d = self._deferred
+        if d is None:
+            return
+        self._deferred = None
+        _DEFERRED_JOIN_BY_WORKDIR.pop(self._workdir_key, None)
+        for f in d["futures"]:
+            f.result()  # propagate the first writer failure
+        for df in d["unpersist"]:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        # maintenance must never run concurrently with in-flight writers
+        # (orphan GC would delete a dir whose commit hasn't landed), and
+        # the checkpoint must freeze the COMPLETE iteration — both belong
+        # here, strictly after the futures
+        self._maybe_compact()
+        self.io.checkpoint(d["label"])
 
     def _fetch_stage(self, ready: DataFrame) -> DataFrame:
         """One logical fetch (reference task_processor.rs:128-208), two
@@ -1026,7 +1142,7 @@ class CrawlEngine:
     def _commit_chain_out(self, chain_out, it, remaining, fetch_log,
                           counts=None, counts_resolver=None,
                           iter_t0=None, finish_reason="Complete",
-                          touched_shards=None):
+                          touched_shards=None, defer=False):
         """Commit an iteration. Every write is O(this iteration's work):
 
         - ``chain`` append: tasks/sched/lineage log rows (state rows are
@@ -1151,25 +1267,30 @@ class CrawlEngine:
                 ).coalesce(1),
             )
 
-        writers = [
-            lambda: io.append(
+        def _chain_append():
+            io.append(
                 "chain",
                 chain_out.filter(F.col("row_kind") != "state").withColumn(
                     "iter", F.lit(it).cast("long")
                 ).coalesce(w_parts),
-            ),
-            _job_state_write,
-            _url_seen_write,
-            _job_log_write,
-        ]
+            )
+
+        # SYNC writers gate the NEXT iteration's plan build from its first
+        # line (_pending_df reads the chain table's last append / the
+        # compact frontier); everything else is DEFERRABLE — its first
+        # reader is the next iteration's dedup/chain plan build, which
+        # happens only after that iteration's fetch/extract wave (see
+        # step()'s wave-1 join)
+        sync_writers = [_chain_append]
+        defer_writers = [_job_state_write, _url_seen_write, _job_log_write]
         if tasks is not None:
-            writers.append(
+            sync_writers.append(
                 lambda: io.overwrite("frontier_pending", tasks.coalesce(w_parts))
             )
         if self.cfg.use_bloom:
-            writers.append(_bloom_update)
+            defer_writers.append(_bloom_update)
         if fetch_log is not None:
-            writers.append(
+            defer_writers.append(
                 lambda: io.append("fetch_log", fetch_log.coalesce(w_parts))
             )
         from concurrent.futures import ThreadPoolExecutor
@@ -1190,13 +1311,27 @@ class CrawlEngine:
 
             return run
 
-        # independent tables → independent Spark jobs, issued concurrently
-        # (all read from the persisted chain_out; TableIO serializes manifest
-        # commits)
-        with ThreadPoolExecutor(max_workers=len(writers)) as ex:
-            futures = [ex.submit(timed(w)) for w in writers]
-            for f in futures:
-                f.result()  # propagate the first failure
+        deferred_futs: list = []
+        if defer:
+            # persistent pool: the futures outlive this call by design
+            if getattr(self, "_writer_pool", None) is None:
+                self._writer_pool = ThreadPoolExecutor(
+                    max_workers=8, thread_name_prefix="commit"
+                )
+            deferred_futs = [
+                self._writer_pool.submit(timed(w)) for w in defer_writers
+            ]
+            with ThreadPoolExecutor(max_workers=len(sync_writers)) as ex:
+                for f in [ex.submit(timed(w)) for w in sync_writers]:
+                    f.result()
+        else:
+            writers = sync_writers + defer_writers
+            # independent tables → independent Spark jobs, issued
+            # concurrently (all read from the persisted chain_out; TableIO
+            # serializes manifest commits)
+            with ThreadPoolExecutor(max_workers=len(writers)) as ex:
+                for f in [ex.submit(timed(w)) for w in writers]:
+                    f.result()  # propagate the first failure
 
         # metrics accumulate in the manifest (checkpointed) and are
         # materialized as a table by flush_metrics() — avoids a tiny table
@@ -1233,9 +1368,11 @@ class CrawlEngine:
             dedup_stats.get("dedup_read_bytes", 0),
             0,  # exec_local: distributed plan
         ]
-        buf = list(io.state.get("metrics_buffer", []))
-        buf.append(row)
-        io.state["metrics_buffer"] = buf
+        with io._lock:  # deferred writers may be serializing the manifest
+            buf = list(io.state.get("metrics_buffer", []))
+            buf.append(row)
+            io.state["metrics_buffer"] = buf
+        return deferred_futs
 
     # ----------------------------------------------------------- run/readers
 
@@ -1284,12 +1421,14 @@ class CrawlEngine:
     def _job_state_df(self) -> DataFrame:
         """All jobs' current states (the partitioned job_state table —
         per-iteration commits touch only the active buckets)."""
+        self._join_deferred()
         return self.io.read_partitions("job_state").select(*_STATE_COLS)
 
     def url_seen_df(self) -> DataFrame:
         """The committed URL-seen set (commit-last semantics, one row per
         (job_id, url)) — the dedicated host-hash-partitioned table, so the
         per-iteration dedup backstop prunes its scan to touched shards."""
+        self._join_deferred()
         return self.io.read_partitions("url_seen").select(
             "job_id", "url", "added_iter"
         )
@@ -1301,21 +1440,25 @@ class CrawlEngine:
     def job_log_df(self) -> DataFrame:
         """Per-job Finished records (JobStatus::Finished analogue,
         types.rs:325-328): one row per job on completion/root-rejection."""
+        self._join_deferred()
         return self.io.read("job_log")
 
     def sched_log_df(self) -> DataFrame:
+        self._join_deferred()
         return self.io.read("chain").filter(
             F.col("row_kind") == "sched"
         ).select("iter", "job_id", "parent_seq_num", "url", "depth",
                  "link_pos", "action", "filter")
 
     def lineage_df(self) -> DataFrame:
+        self._join_deferred()
         return self.io.read("chain").filter(
             F.col("row_kind") == "lineage"
         ).select("job_id", "url", "seed_url", "depth", "discovered_by", "iter")
 
     def flush_metrics(self) -> DataFrame:
         """Materialize the manifest-buffered per-iteration metrics as a table."""
+        self._join_deferred()
         buf = self.io.state.get("metrics_buffer", [])
         df = self.spark.createDataFrame(
             [tuple(r) for r in buf] or [], S.METRICS
@@ -1348,6 +1491,9 @@ class CrawlEngine:
                hosts: DataFrame | None = None) -> "CrawlEngine":
         """Restore from the last complete checkpoint (kill-safe: a crash
         mid-iteration rolls back to the previous iteration's manifest)."""
+        # in-process takeover: land the previous engine's deferred commits
+        # (incl. its final checkpoint) BEFORE choosing the restore point
+        _drain_workdir(workdir)
         io = TableIO(spark, workdir)
         cks = io.list_checkpoints()
         if not cks:

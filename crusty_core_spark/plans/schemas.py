@@ -58,13 +58,18 @@ METRICS = (
     "exec_local int"
 )
 
-# chain-stage exchange schemas (operators/chain_stage.py)
+# chain-stage exchange schemas (operators/chain_stage.py).
+# ``pre_action`` (counts-only mode): a stateless verdict — "rejected"
+# (scheme) or "skip" (no-follow / committed-seen) — precomputed JVM-side in
+# engine.step; rows carrying it have their string payload (url/host/rel/
+# alt/text) nulled before the cogroup exchange and short-circuit the fold
+# (chain_stage.run_batch). Null pre_action = run the full chain_decide.
 CHAIN_IN = (
     "job_id long, kind string, task_seq long, link_pos int, url string, "
     "host string, rel string, alt string, text string, depth int, "
     "redirect int, target string, "
     "marker int, seen_global boolean, status int, content_type string, "
-    "content_encoding string, body binary, action string"
+    "content_encoding string, body binary, action string, pre_action string"
 )
 
 CHAIN_OUT = (

@@ -76,8 +76,14 @@ class TableIO:
         return self._manifest["state"]
 
     def set_state(self, **kv) -> None:
-        self._manifest["state"].update(kv)
-        self._write_manifest()
+        # under the manifest lock: the engine's deferred commit writers
+        # (plans/engine.py) run _commit concurrently with the main thread's
+        # set_state — unlocked, both would race _write_manifest's
+        # tmp-then-rename (the second os.replace finds the tmp gone) and
+        # json.dump could iterate a dict mid-mutation
+        with self._lock:
+            self._manifest["state"].update(kv)
+            self._write_manifest()
 
     def _tbl(self, name: str) -> dict:
         return self._manifest["tables"].setdefault(
@@ -733,10 +739,11 @@ class TableIO:
     # ---------- checkpoints (atomic multi-table) ----------
 
     def checkpoint(self, label: str, extra: dict | None = None) -> str:
-        ck = {
-            "manifest": json.loads(json.dumps(self._manifest)),
-            "extra": extra or {},
-        }
+        with self._lock:  # freeze a consistent manifest snapshot
+            ck = {
+                "manifest": json.loads(json.dumps(self._manifest)),
+                "extra": extra or {},
+            }
         path = os.path.join(self.root, "_checkpoints", f"ckpt-{label}.json")
         tmp = path + ".tmp"
         with open(tmp, "w") as f:

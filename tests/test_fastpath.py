@@ -258,3 +258,39 @@ def test_local_path_used_and_resumable(spark, workdir):
     full.seed(seeds)
     full.run()
     assert _engine_state(res) == _engine_state(full)
+
+
+def test_counts_only_slim_chain_identical(spark, workdir):
+    """Counts-only mode (sched_log_detail=False — the bench regime) slims
+    known-skip candidates before the chain exchange (engine.step
+    pre_action). The crawl must be IDENTICAL to detail mode in every
+    observable: task rows, url_seen, job states, job_log, fetch actions —
+    and the per-iteration sched counters (n_candidates/accepted/skipped/
+    terminated) must match detail mode's exactly. Budgets stay ON so the
+    term/take_while interaction with slim rows is exercised."""
+    spec = CorpusSpec(n_hosts=5, base_pages_per_host=14, seed=21)
+    rows, seeds = gen_corpus(spec)
+    base = CrawlConfig(
+        local_iter_threshold=0,  # force the distributed plan (where
+        page_budget=9,           # slimming lives) on every iteration
+        links_per_page_budget=4,
+    )
+    eng_d = _run_engine(spark, workdir + "/detail", rows, seeds, base)
+    eng_c = _run_engine(
+        spark, workdir + "/counts", rows, seeds,
+        CrawlConfig.from_dict({**base.to_dict(), "sched_log_detail": False}),
+    )
+    assert _engine_state(eng_d) == _engine_state(eng_c)
+    m_d = sorted(
+        tuple(r) for r in eng_d.flush_metrics().select(
+            "iter", "n_ready", "n_processed", "n_candidates", "n_accepted",
+            "n_skipped", "n_terminated"
+        ).collect()
+    )
+    m_c = sorted(
+        tuple(r) for r in eng_c.flush_metrics().select(
+            "iter", "n_ready", "n_processed", "n_candidates", "n_accepted",
+            "n_skipped", "n_terminated"
+        ).collect()
+    )
+    assert m_d == m_c
