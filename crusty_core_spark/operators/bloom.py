@@ -149,15 +149,28 @@ def probe(
         def probe_map(batches):
             local = bc.value
             for pdf in batches:
-                flags = []
-                for sid, pos in zip(pdf["_shard"].tolist(), pdf["_pos"]):
-                    bits = local.get(int(sid))
-                    if bits is None:
-                        flags.append(False)
-                        continue
-                    p = np.asarray(pos, dtype=np.int64)
-                    flags.append(bool(((bits[p >> 3] >> (p & 7)) & 1).all()))
                 out = pdf.drop(columns=drop)
+                n = len(pdf)
+                if n == 0:
+                    out["maybe_seen"] = pd.Series([], dtype=bool)
+                    yield out[cols]
+                    continue
+                # ONE (n, k) position matrix per Arrow batch; the bit test
+                # then runs vectorized per shard group instead of per row
+                # (measured: the per-row loop was ~10x the numpy path on a
+                # fat-iteration candidate volume)
+                pos = np.stack(
+                    [np.asarray(p, dtype=np.int64) for p in pdf["_pos"]]
+                )
+                sid = pdf["_shard"].to_numpy()
+                flags = np.zeros(n, dtype=bool)
+                for s in np.unique(sid):
+                    bits = local.get(int(s))
+                    if bits is None:
+                        continue  # shard never written -> definitely unseen
+                    m = sid == s
+                    p = pos[m]
+                    flags[m] = ((bits[p >> 3] >> (p & 7)) & 1).all(axis=1)
                 out["maybe_seen"] = flags
                 yield out[cols]
 
@@ -173,12 +186,9 @@ def probe(
             out["maybe_seen"] = False
             return out[cols]
         bits = np.frombuffer(bytes(right.iloc[0]["bitset"]), dtype=np.uint8)
-        flags = []
-        for pos in left["_pos"]:
-            p = np.asarray(pos, dtype=np.int64)
-            flags.append(bool(((bits[p >> 3] >> (p & 7)) & 1).all()))
+        p = np.stack([np.asarray(x, dtype=np.int64) for x in left["_pos"]])
         out = left.drop(columns=drop)
-        out["maybe_seen"] = flags
+        out["maybe_seen"] = ((bits[p >> 3] >> (p & 7)) & 1).all(axis=1)
         return out[cols]
 
     return (
@@ -266,12 +276,16 @@ def update(
     # in numpy (ONE Arrow-batched toPandas, no cogroup shuffle) and keep the
     # blob cache warm for the next probe — measured cheaper than the cogroup
     # job's fixed floor (shard read + shuffle + python workers + 64-file
-    # write) well past 10^5 rows. Bigger iterations take the cogroup path
-    # below — O(touched shards) either way.
+    # write) well past 10^5 rows. The threshold is sized by payload: 10^6
+    # rows x (shard_id + k positions) ~= 45 MB through one Arrow collect,
+    # and the numpy OR is O(rows) driver work — still far below the cogroup
+    # job's 4-8s floor (profiled at both 1 and 4 executors; the cogroup is
+    # also executor-count-invariant, so it drags the N->4N ratio). Bigger
+    # iterations take the cogroup path below — O(touched shards) either way.
     total_bytes = cfg.n_bloom_shards * (n_bits // 8)
     if (
         n_accepted is not None
-        and n_accepted <= 250_000
+        and n_accepted <= 1_000_000
         and total_bytes <= 64 * 1024 * 1024
     ):
         pdf = upd.toPandas()
@@ -296,8 +310,11 @@ def update(
         else:
             bits = np.zeros(n_bits // 8, dtype=np.uint8)
             n = 0
-        for pos in left["_pos"]:
-            p = np.asarray(pos, dtype=np.int64)
+        if len(left):
+            # one flattened position vector per shard group (vectorized OR)
+            p = np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in left["_pos"]]
+            )
             np.bitwise_or.at(bits, p >> 3, (1 << (p & 7)).astype(np.uint8))
         return pd.DataFrame(
             [{"shard_id": sid, "bitset": bits.tobytes(), "n_items": n + len(left)}]

@@ -180,11 +180,15 @@ class TableIO:
                         n_files: int | None = None):
         """Write df partitioned by part_col; returns (data_dir, {value: relpath}).
 
-        Default: repartition by the partition column (one file per touched
-        value — the big-data layout). ``n_files``: coalesce to that many
-        write tasks instead, skipping the shuffle — the low-latency path for
-        small commits (each task writes every subdir it sees; a partition
-        subdir may then hold up to n_files files, which reads fine)."""
+        One file per touched value either way. Default: repartition by the
+        partition column at the session shuffle parallelism (the big-data
+        layout). ``n_files``: hash the partition column into that many write
+        tasks instead — a bounded-parallelism shuffle of a SMALL commit.
+        (An earlier coalesce(n_files) variant skipped this tiny shuffle but
+        let every task write every subdir it saw — a fat iteration then
+        committed n_files x n_values files, ~4k tiny parquet footers for
+        job_state alone, and the write + every downstream partition read
+        paid per-file overhead; profiled at 7s per deferred writer at 4N.)"""
         from pyspark.sql import functions as F
         with self._lock:
             t = self._tbl(name)
@@ -193,7 +197,8 @@ class TableIO:
         path = os.path.join(self.root, name, d)
         out = df.withColumn("_pc", F.col(part_col))
         out = (
-            out.coalesce(n_files) if n_files else out.repartition(F.col("_pc"))
+            out.repartition(n_files, F.col("_pc")) if n_files
+            else out.repartition(F.col("_pc"))
         )
         out.write.mode("overwrite").partitionBy("_pc").parquet(path)
         written = {}
