@@ -83,8 +83,53 @@ def make_chain_fn(cfg, custom_filters: tuple = (), drain: bool = False):
                 sched_counts[action] = sched_counts.get(action, 0) + 1
 
         by_job: dict[int, list] = {}
+        slim_pdf = None
+        #: (job_id, parent task_seq) -> term cutoff for every response batch
+        #: this bucket processed: the non-slim row index at which the batch
+        #: terminated (-1 = term at the stashed root re-emit), or BIG if the
+        #: whole batch ran. Feeds the vectorized slim accounting below.
+        processed_batches: dict[tuple[int, int], int] = {}
+        _NO_TERM = 1 << 60
         if len(left):
+            import numpy as np
+
             ls = left.sort_values(["job_id", "kind", "task_seq", "link_pos"])
+            cmask = ls["kind"].to_numpy() == "cand"
+            pa_null = ls["pre_action"].isna().to_numpy()
+            # per-(job, parent) batch coordinates, computed vectorized on the
+            # SAME sorted frame the fold iterates ("cand" sorts before
+            # "resp", so resp rows never perturb candidate ranks):
+            #   rankpos — the row's original index within its batch (the
+            #             `pos` the old per-row loop got from enumerate)
+            #   nsi     — the row's index among the batch's NON-slim rows
+            #             (the take_while/term coordinate)
+            tmp = ls[["job_id", "task_seq"]].copy()
+            tmp["f"] = np.where(cmask, pa_null, False).astype("int64")
+            grp = tmp.groupby(["job_id", "task_seq"], sort=False)
+            nb_incl = grp["f"].cumsum().to_numpy()
+            ls = ls.assign(rankpos=grp.cumcount().to_numpy(),
+                           nsi=nb_incl - 1)
+            # SLIM rows (engine.step, counts-only mode): the verdict for
+            # stateless decisions — scheme rejection, no-follow skip,
+            # committed-seen skip — was precomputed JVM-side as
+            # ``pre_action``. They mutate no chain state, so instead of
+            # riding the python fold row-by-row they are pulled out here and
+            # accounted for VECTORIZED after the fold: a slim row is logged
+            # iff its batch ran past it, i.e. its non-slim-rows-before count
+            # (nb) <= the batch's term cutoff. Root rows (task_seq < 0) keep
+            # the per-root-batch path; drain logs nothing, so no pull-out.
+            slim_sel = np.zeros(len(ls), dtype=bool)
+            if not drain and not detail:
+                slim_sel = (cmask & ~pa_null
+                            & (ls["task_seq"].to_numpy() >= 0))
+            if slim_sel.any():
+                slim_pdf = pd.DataFrame({
+                    "job_id": ls["job_id"].to_numpy()[slim_sel],
+                    "parent": ls["task_seq"].to_numpy()[slim_sel],
+                    "act": ls["pre_action"].to_numpy()[slim_sel],
+                    "nb": nb_incl[slim_sel],
+                })
+                ls = ls.loc[~slim_sel]
             for j, rows in itertools.groupby(
                 ls.itertuples(index=False), key=lambda r: int(r.job_id)
             ):
@@ -104,30 +149,38 @@ def make_chain_fn(cfg, custom_filters: tuple = (), drain: bool = False):
             if cfg.robots_txt and st.robots_state != "none":
                 st.seen.add(f"{st.root_scheme}://{st.root_host}/robots.txt")
 
-            def run_batch(batch, parent_seq_num, parent_url, parent_seq):
+            def run_batch(batch, parent_seq_num, parent_url, parent_seq,
+                          stash=0):
+                """Fold one candidate batch; returns the term cutoff — the
+                non-slim row index at which the batch terminated (-1 = at the
+                stashed re-emit), or None if the whole batch ran."""
                 nonlocal seq_counter
                 if drain:
                     # soft-timeout drain: responses are processed (robots
                     # state above still mutates) but nothing new is scheduled
                     # (task_scheduler.rs:134-157)
-                    return
-                for pos, item in enumerate(batch):
+                    return None
+                for item in batch:
                     if not isinstance(item, Candidate):
-                        # SLIM rows (engine.step, counts-only mode): the
-                        # verdict for stateless decisions — scheme
-                        # rejection, no-follow skip, committed-seen skip —
-                        # was precomputed JVM-side and the row's string
-                        # payload nulled BEFORE the cogroup exchange. The
-                        # row still rides the batch at its exact position,
-                        # so take_while (term) drops it with the rest of
-                        # the remainder and the action counts stay
-                        # identical to the full fold.
+                        # rankpos = the row's index within its ORIGINAL batch
+                        # (slim rows included), so `pos` matches the old
+                        # enumerate() exactly; stash offsets for the re-emit
+                        # at the batch head; root batches are single-row
+                        pos = (stash + int(item.rankpos)
+                               if parent_seq >= 0 else 0)
+                        # residual slim rows: roots (task_seq < 0) keep the
+                        # per-root-batch path — everything else was pulled
+                        # out pre-fold and is accounted vectorized below
                         pa = _nn(getattr(item, "pre_action", None))
                         if pa is not None:
                             log_sched(job_id, parent_seq_num, item.url,
                                       item.depth, pos, pa, "pre")
                             continue
+                        nsi = int(item.nsi)
                         item = to_cand(item)
+                    else:
+                        pos = 0  # stashed root re-emit rides the batch head
+                        nsi = -1
                     c = item
                     c.link_pos = pos
                     if not (c.url.startswith("http:")
@@ -142,7 +195,7 @@ def make_chain_fn(cfg, custom_filters: tuple = (), drain: bool = False):
                     log_sched(job_id, parent_seq_num, c.url, c.depth, pos,
                               action, name)
                     if action == "term":
-                        break  # take_while (task_scheduler.rs:92-97)
+                        return nsi  # take_while (task_scheduler.rs:92-97)
                     if action == "skip":
                         continue
                     task_rows.append((job_id, seq_counter, sched.url,
@@ -154,6 +207,7 @@ def make_chain_fn(cfg, custom_filters: tuple = (), drain: bool = False):
                     lineage_rows.append((job_id, sched.url, st.root_url,
                                          sched.depth, parent_url))
                     seq_counter += 1
+                return None
 
             rows = by_job.get(job_id)
             if rows:
@@ -184,6 +238,7 @@ def make_chain_fn(cfg, custom_filters: tuple = (), drain: bool = False):
                     resp_counter += 1  # task_scheduler.rs:80
                     psn = resp_counter
                     batch: list[Candidate] = []
+                    stash = 0
                     # robots.txt load filter (load_filters.rs:53-112)
                     if (
                         cfg.robots_txt
@@ -210,10 +265,16 @@ def make_chain_fn(cfg, custom_filters: tuple = (), drain: bool = False):
                             if st.stashed_root is not None:  # re-emit (:101-103)
                                 batch.append(st.stashed_root)
                                 st.stashed_root = None
-                    # raw rows; run_batch converts lazily so SLIM rows
-                    # (pre_action set) never build a Candidate
-                    batch.extend(by_parent.get(int(r.task_seq), ()))
-                    run_batch(batch, psn, r.url, int(r.task_seq))
+                                stash = 1
+                    # raw rows; run_batch converts lazily (slim rows were
+                    # pulled out pre-fold and never build a Candidate)
+                    pseq = int(r.task_seq)
+                    batch.extend(by_parent.get(pseq, ()))
+                    cut = run_batch(batch, psn, r.url, pseq, stash)
+                    if slim_pdf is not None:
+                        processed_batches[(job_id, pseq)] = (
+                            _NO_TERM if cut is None else cut
+                        )
 
             ns = st.to_row()
             ns["resp_counter"] = resp_counter
@@ -234,6 +295,20 @@ def make_chain_fn(cfg, custom_filters: tuple = (), drain: bool = False):
                 ns["action"] = "touched_done"
             state_rows.append(tuple(job_id if c == "job_id" else ns[c]
                                     for c in _STATE_COLS + ["action"]))
+
+        # vectorized slim accounting: a slim row is logged iff its parent
+        # batch was processed (inner join) AND the batch ran past it
+        # (nb <= the batch's term cutoff) — exactly when the old per-row
+        # loop would have hit its early-out. One pandas pass instead of
+        # ~10^6 python iterations on dup-heavy fat iterations.
+        if slim_pdf is not None and processed_batches:
+            cuts = pd.DataFrame(
+                [(j, p, c) for (j, p), c in processed_batches.items()],
+                columns=["job_id", "parent", "cut"],
+            )
+            m = slim_pdf.merge(cuts, on=["job_id", "parent"], how="inner")
+            for a, n in m.loc[m["nb"] <= m["cut"], "act"].value_counts().items():
+                sched_counts[a] = sched_counts.get(a, 0) + int(n)
 
         # counts-only mode: one row per (bucket, action) instead of one per
         # candidate; count travels in parent_seq_num

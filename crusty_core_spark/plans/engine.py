@@ -767,8 +767,18 @@ class CrawlEngine:
             cands.select(*[f.name for f in resp_rows.schema.fields])
         )
 
+        # diagnostic hook: dump the chain stage's exact inputs so
+        # scripts/bench_chain_stage.py can time run_chain_stage in isolation
+        # at different topologies (not used in production runs)
+        dump = os.environ.get("SPARK_CRAWL_DUMP_CHAIN")
+        if dump:
+            chain_input.write.mode("overwrite").parquet(
+                f"{dump}/chain_input_it{it}")
+            job_state.write.mode("overwrite").parquet(
+                f"{dump}/job_state_it{it}")
+
         # --- per-job chain replay, bucketed (exact semantics per job,
-        #     parallel across buckets); only TOUCHED jobs' states cross
+        #     parallel across jobs); only TOUCHED jobs' states cross
         #     Python — untouched states are carried over JVM-side at commit
         chain_out = run_chain_stage(chain_input, job_state, self.cfg,
                                     custom_filters=self.custom_task_filters,

@@ -55,6 +55,12 @@ def get_spark(
         # (frontier rows); the cache is GB — locality must follow the cache.
         .config("spark.shuffle.reduceLocality.enabled", "false")
     )
+    ev = os.environ.get("SPARK_GRAFT_EVENTLOG")
+    if ev:
+        # diagnostic: per-task timing evidence for the scaling benches
+        os.makedirs(ev, exist_ok=True)
+        b = (b.config("spark.eventLog.enabled", "true")
+              .config("spark.eventLog.dir", "file://" + ev))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
