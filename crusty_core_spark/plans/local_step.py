@@ -342,7 +342,13 @@ def step_local(engine, it: int) -> dict:
     gc_was_enabled = gc.isenabled()
     gc.disable()
     try:
-        return _step_local_inner(engine, it)
+        # batch manifest persistence across this iteration's table commits:
+        # the recovery point is the end-of-iteration checkpoint (resume
+        # rolls back to the last COMPLETE checkpoint either way), and each
+        # manifest dump serializes every table's snapshot history — measured
+        # ~33 ms × 8 commits on a tail iteration
+        with engine.io.deferred_manifest():
+            return _step_local_inner(engine, it)
     finally:
         if gc_was_enabled:
             gc.enable()
