@@ -310,8 +310,16 @@ class CrawlEngine:
         self._sched_counts = {
             r["action"]: r["n"] for r in self._sched_agg(chain_out).collect()
         }
-        self._commit_chain_out(chain_out, it=0, remaining=None, fetch_log=None,
-                               counts={}, finish_reason="RootRejected")
+        # DEFERRED seed commit: the writers (chain/job_state/url_seen/Bloom/
+        # job_log) land in the background and are joined by iteration 1's
+        # fetch/extract wave — exactly the per-iteration pipelining model.
+        # The checkpoint freezes at the join, so resume always restores a
+        # COMPLETE seed; an in-process takeover or any table reader drains
+        # first (same crash model as every other deferred iteration — a hard
+        # process death before the join simply re-seeds, which is free).
+        deferred_futs = self._commit_chain_out(
+            chain_out, it=0, remaining=None, fetch_log=None,
+            counts={}, finish_reason="RootRejected", defer=True)
         # collect while chain_out is still cached: a recompute would let
         # Catalyst prune the cogroup input columns out from under bucket_fn
         seeded_buckets = [
@@ -320,7 +328,6 @@ class CrawlEngine:
             .select(F.pmod(F.col("job_id"), F.lit(N_JOB_BUCKETS)).cast("int"))
             .distinct().collect()
         ]
-        chain_out.unpersist()
         self.io.set_state(
             iter=0,
             seeded=True,
@@ -328,7 +335,16 @@ class CrawlEngine:
             pending=self._sched_counts.get("accept", 0),
             pending_buckets=sorted(seeded_buckets),
         )
-        self.io.checkpoint("iter-000000")
+        # next iteration's work queue, served from the cached chain output —
+        # the deferred chain append needn't gate iteration 1 (see _pending_df
+        # and _mem_slice for why this must be plan-flat)
+        self._mem_pending = self._mem_slice(chain_out, 0)
+        self._deferred = {
+            "futures": deferred_futs,
+            "unpersist": [chain_out],
+            "label": "iter-000000",
+        }
+        _DEFERRED_JOIN_BY_WORKDIR[self._workdir_key] = self._join_deferred
 
 
     def _sched_agg(self, chain_out, fam="sched"):
@@ -629,6 +645,10 @@ class CrawlEngine:
         if drain:
             cands_raw = cands_raw.limit(0)
         cands_raw.persist()  # probe, pos-shard collect, backstop all read it
+        # dropped below when the iteration produced zero candidates — the
+        # Bloom probe / backstop / slim / union stages all launch tasks even
+        # on an empty plan, a pure stage-floor cost on robots-only and drain
+        # iterations (the wave-1 count is already paid, so this is free)
 
         # --- WAVE 1 + deferred-commit join: materialize fetch→classify→
         #     extract→explode NOW, while the PREVIOUS iteration's deferred
@@ -639,7 +659,7 @@ class CrawlEngine:
         #     paths, Bloom snapshot). This pipelining removes most of the
         #     commit phase from the iteration's critical path — the serial
         #     floor the N→4N ratio pays 4x for (VERDICT r3 #1/#6).
-        cands_raw.count()
+        n_cands = cands_raw.count()
         mark("wave1")
         self._join_deferred()
         mark("join_deferred")
@@ -675,7 +695,11 @@ class CrawlEngine:
         #     chain): Bloom-shard prefilter + shard-pruned exact backstop,
         #     or plain join
         self._dedup_stats = {}
-        if cfg.use_bloom:
+        if n_cands == 0:
+            cands = None
+            self._dedup_stats = {"dedup_shards_read": 0,
+                                 "dedup_read_bytes": 0}
+        elif cfg.use_bloom:
             from crusty_core_spark.operators import bloom
 
             cands = bloom.dedup_flag(cands_raw, self.io, cfg,
@@ -689,14 +713,15 @@ class CrawlEngine:
             ).withColumn(
                 "seen_global", F.coalesce("seen_global", F.lit(False))
             )
-        cands = (
-            cands
-            .withColumn("status", F.lit(None).cast("int"))
-            .withColumn("content_type", F.lit(None).cast("string"))
-            .withColumn("content_encoding", F.lit(None).cast("string"))
-            .withColumn("body", F.lit(None).cast("binary"))
-            .withColumn("action", F.lit(None).cast("string"))
-        )
+        if cands is not None:
+            cands = (
+                cands
+                .withColumn("status", F.lit(None).cast("int"))
+                .withColumn("content_type", F.lit(None).cast("string"))
+                .withColumn("content_encoding", F.lit(None).cast("string"))
+                .withColumn("body", F.lit(None).cast("binary"))
+                .withColumn("action", F.lit(None).cast("string"))
+            )
         # SLIM the known-skip candidates before the chain exchange
         # (counts-only mode): scheme rejection, the no-follow skip (filter
         # #1, task_filters.rs:297-306) and the committed-seen skip (filter
@@ -714,7 +739,9 @@ class CrawlEngine:
         # its sched log records the urls.
         # SPARK_CRAWL_NO_SLIM: measurement kill-switch for A/B-ing the
         # slimming against the identical build (bench methodology)
-        if not cfg.sched_log_detail and not os.environ.get(
+        if cands is None:
+            pass
+        elif not cfg.sched_log_detail and not os.environ.get(
             "SPARK_CRAWL_NO_SLIM"
         ):
             scheme_ok = F.col("url").startswith("http:") | F.col(
@@ -736,9 +763,10 @@ class CrawlEngine:
             cands = cands.withColumn(
                 "pre_action", F.lit(None).cast("string")
             )
-        if multi_read:
+        if multi_read and cands is not None:
             cands.persist()  # feeds both the chain input and the n_links agg
-        barrier(cands, "cands+bloom+seen")
+        if cands is not None:
+            barrier(cands, "cands+bloom+seen")
 
         # --- response rows (every ready task; robots rows carry their body)
         resp_rows = fetched.select(
@@ -763,9 +791,12 @@ class CrawlEngine:
             "action",
             F.lit(None).cast("string").alias("pre_action"),
         )
-        chain_input = resp_rows.unionByName(
-            cands.select(*[f.name for f in resp_rows.schema.fields])
-        )
+        if cands is None:
+            chain_input = resp_rows
+        else:
+            chain_input = resp_rows.unionByName(
+                cands.select(*[f.name for f in resp_rows.schema.fields])
+            )
 
         # diagnostic hook: dump the chain stage's exact inputs so
         # scripts/bench_chain_stage.py can time run_chain_stage in isolation
@@ -817,16 +848,19 @@ class CrawlEngine:
         )
         if cfg.fetch_log_detail:
             titles = parsed.select("job_id", "task_seq", "title", *user_cols)
-            n_links = (
-                cands.filter(F.col("redirect") == 0)  # parsed links only
-                .groupBy("job_id", "task_seq")
-                .agg(F.count("*").cast("int").alias("n_links"))
-            )
-            fetch_log = (
-                base_log.join(titles, ["job_id", "task_seq"], "left")
-                .join(n_links, ["job_id", "task_seq"], "left")
-                .withColumn("n_links", F.coalesce("n_links", F.lit(0)))
-            )
+            fetch_log = base_log.join(titles, ["job_id", "task_seq"], "left")
+            if cands is None:  # zero candidates this iteration
+                fetch_log = fetch_log.withColumn("n_links", F.lit(0))
+            else:
+                n_links = (
+                    cands.filter(F.col("redirect") == 0)  # parsed links only
+                    .groupBy("job_id", "task_seq")
+                    .agg(F.count("*").cast("int").alias("n_links"))
+                )
+                fetch_log = (
+                    fetch_log.join(n_links, ["job_id", "task_seq"], "left")
+                    .withColumn("n_links", F.coalesce("n_links", F.lit(0)))
+                )
         else:
             fetch_log = base_log.withColumn(
                 "n_links", F.lit(0)
@@ -968,9 +1002,16 @@ class CrawlEngine:
         # the join resumes from the previous checkpoint and replays this
         # iteration deterministically — the exact crash model an
         # intra-iteration crash already has.
+        # next iteration's work queue, straight from the cached chain
+        # output (the deferred chain append lands before the checkpoint;
+        # see _pending_df) — politeness mode keeps its explicit table
+        if cfg.delay_ms == 0:
+            self._mem_pending = self._mem_slice(chain_out, it)
         self._deferred = {
             "futures": deferred_futs,
-            "unpersist": [chain_out, cands, cands_raw, parsed, fetched],
+            "unpersist": [df for df in
+                          (chain_out, cands, cands_raw, parsed, fetched)
+                          if df is not None],
             "label": f"iter-{it:06d}",
         }
         _DEFERRED_JOIN_BY_WORKDIR[self._workdir_key] = self._join_deferred
@@ -995,6 +1036,10 @@ class CrawlEngine:
         if d is None:
             return
         self._deferred = None
+        # the chain append is part of the landing set, so the table now
+        # holds everything the cached slice held — readers switch to the
+        # table path (the cache backing _mem_pending is released below)
+        self._mem_pending = None
         _DEFERRED_JOIN_BY_WORKDIR.pop(self._workdir_key, None)
         for f in d["futures"]:
             f.result()  # propagate the first writer failure
@@ -1290,13 +1335,16 @@ class CrawlEngine:
             )
 
         # SYNC writers gate the NEXT iteration's plan build from its first
-        # line (_pending_df reads the chain table's last append / the
-        # compact frontier); everything else is DEFERRABLE — its first
-        # reader is the next iteration's dedup/chain plan build, which
-        # happens only after that iteration's fetch/extract wave (see
-        # step()'s wave-1 join)
-        sync_writers = [_chain_append]
-        defer_writers = [_job_state_write, _url_seen_write, _job_log_write]
+        # line; everything else is DEFERRABLE — its first reader is the next
+        # iteration's dedup/chain plan build, which happens only after that
+        # iteration's fetch/extract wave (see step()'s wave-1 join). The
+        # chain append itself is deferrable too: the next iteration's work
+        # queue is served from the still-cached chain output (_mem_pending /
+        # _pending_df), so only the politeness-mode compact frontier
+        # overwrite remains a sync gate (its table IS the queue).
+        sync_writers = []
+        defer_writers = [_chain_append, _job_state_write, _url_seen_write,
+                         _job_log_write]
         if tasks is not None:
             sync_writers.append(
                 lambda: io.overwrite("frontier_pending", tasks.coalesce(w_parts))
@@ -1335,9 +1383,10 @@ class CrawlEngine:
             deferred_futs = [
                 self._writer_pool.submit(timed(w)) for w in defer_writers
             ]
-            with ThreadPoolExecutor(max_workers=len(sync_writers)) as ex:
-                for f in [ex.submit(timed(w)) for w in sync_writers]:
-                    f.result()
+            if sync_writers:
+                with ThreadPoolExecutor(max_workers=len(sync_writers)) as ex:
+                    for f in [ex.submit(timed(w)) for w in sync_writers]:
+                        f.result()
         else:
             writers = sync_writers + defer_writers
             # independent tables → independent Spark jobs, issued
@@ -1390,6 +1439,24 @@ class CrawlEngine:
 
     # ----------------------------------------------------------- run/readers
 
+    def _mem_slice(self, chain_out, it) -> DataFrame:
+        """The next iteration's pending queue as a PLAN-FLAT DataFrame over
+        the cached chain output.
+
+        ``localCheckpoint(eager=False)`` makes the logical plan a LogicalRDD
+        immediately — without it, every iteration's plan would nest the
+        previous iteration's full plan (the table round-trip used to be the
+        lineage cut), growing analysis/AQE-plan-string cost without bound
+        over a long crawl. Lazy: the RDD materializes from the still-cached
+        chain_out inside the next iteration's wave-1 job — no extra job, and
+        the blocks are dropped with the reference one iteration later. (The
+        localCheckpoint caveat — blocks lost with an executor are not
+        recomputable — matches the engine's crash model: resume replays the
+        iteration from the last complete table checkpoint.)"""
+        return self._tasks_slice(
+            chain_out.filter(F.col("row_kind") == "task"), it
+        ).localCheckpoint(eager=False)
+
     def _tasks_slice(self, chain_out, it) -> DataFrame:
         return chain_out.filter(F.col("row_kind") == "task").select(
             "job_id", "task_seq", "url", "host", "depth", "redirect",
@@ -1401,10 +1468,18 @@ class CrawlEngine:
 
     def _pending_df(self, it: int) -> DataFrame:
         """The live work queue. delay=0: exactly the tasks accepted last
-        iteration (one data dir); politeness mode: the explicit compact
-        frontier_pending table."""
+        iteration — served from the previous iteration's still-cached chain
+        output when this engine produced it (so the deferred chain append
+        never gates the next iteration's plan build), falling back to the
+        table's last append (fresh/resumed engines, post-local iterations);
+        politeness mode: the explicit compact frontier_pending table."""
         if self.cfg.delay_ms > 0:
             pending = self.io.read("frontier_pending")
+        elif getattr(self, "_mem_pending", None) is not None:
+            # backed by the persisted chain_out of the previous iteration —
+            # valid until _join_deferred unpersists it, which happens only
+            # AFTER this iteration's wave-1 materialization has consumed it
+            return self._mem_pending
         else:
             last = self.io.read_last_append("chain")
             pending = self._tasks_slice(
