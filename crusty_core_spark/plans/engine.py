@@ -1240,6 +1240,16 @@ class CrawlEngine:
         else:
             n_accepted = getattr(self, "_sched_counts", {}).get("accept", 0) or 0
             w_parts = max(1, min(32, int(n_accepted) // 20_000 + 1))
+        # Multi-file commits use every core: the row-count formula alone
+        # produced 2-4 write tasks on medium iterations, and a 4-task job on
+        # a 16-core cluster leaves 12 slots idle for its whole wall — the
+        # writer tail then extends past the overlap window and the N→4N
+        # ratio pays it 4x (event-log: iter-2 writers ran 2.7-5.2 s each at
+        # 4 executors as 4-task jobs). Single-file commits stay single-file
+        # (the thin-iteration floor is file count, not parallelism).
+        if w_parts > 1:
+            w_parts = max(w_parts, min(
+                int(self.spark.sparkContext.defaultParallelism), 16))
 
         def _bloom_update():
             if counts_resolver is not None:
@@ -1316,6 +1326,11 @@ class CrawlEngine:
                 )
             io.append(
                 "job_log",
+                # repartition, NOT coalesce: coalesce(1) would pull the
+                # whole 16-partition cached scan through ONE task (3/4 of
+                # the blocks cross-process at 4 executors — event-logged at
+                # 3.7 s single-task); repartition keeps the scan parallel
+                # and only the tiny finished-rows result crosses the shuffle
                 finished.select(
                     "job_id",
                     F.lit(it).cast("long").alias("iter"),
@@ -1323,15 +1338,18 @@ class CrawlEngine:
                     "budget_used",
                     "resp_counter",
                     "seq_counter",
-                ).coalesce(1),
+                ).repartition(1),
             )
 
         def _chain_append():
             io.append(
                 "chain",
+                # repartition for the same reason as job_log: a parallel
+                # cached scan feeding w_parts write tasks, instead of
+                # w_parts tasks each dragging cache blocks cross-process
                 chain_out.filter(F.col("row_kind") != "state").withColumn(
                     "iter", F.lit(it).cast("long")
-                ).coalesce(w_parts),
+                ).repartition(w_parts),
             )
 
         # SYNC writers gate the NEXT iteration's plan build from its first
@@ -1347,13 +1365,14 @@ class CrawlEngine:
                          _job_log_write]
         if tasks is not None:
             sync_writers.append(
-                lambda: io.overwrite("frontier_pending", tasks.coalesce(w_parts))
+                lambda: io.overwrite(
+                    "frontier_pending", tasks.repartition(w_parts))
             )
         if self.cfg.use_bloom:
             defer_writers.append(_bloom_update)
         if fetch_log is not None:
             defer_writers.append(
-                lambda: io.append("fetch_log", fetch_log.coalesce(w_parts))
+                lambda: io.append("fetch_log", fetch_log.repartition(w_parts))
             )
         from concurrent.futures import ThreadPoolExecutor
 
