@@ -141,40 +141,45 @@ def probe(
 
     # fast path: shards small enough to broadcast → probe without a shuffle
     # (at 10^10 scale the shards outgrow this and the cogroup path below
-    # co-partitions candidates with their shard instead)
+    # co-partitions candidates with their shard instead). The bit test is a
+    # SCALAR pandas_udf over exactly (_shard, _pos): only those two slim
+    # columns cross Arrow — the candidate's string payload (url/host/rel/
+    # alt/text) stays JVM-side. The previous mapInPandas round-tripped the
+    # ENTIRE row through Python both ways, which on a fat iteration moved
+    # ~the whole candidate table's bytes twice for a boolean verdict.
     total_bytes = cfg.n_bloom_shards * (n_bits // 8)
     if total_bytes <= 64 * 1024 * 1024:
         bc = _blobs_broadcast(io, cfg)
 
-        def probe_map(batches):
+        @F.pandas_udf("boolean")
+        def probe_udf(sid_s: pd.Series, pos_s: pd.Series) -> pd.Series:
             local = bc.value
-            for pdf in batches:
-                out = pdf.drop(columns=drop)
-                n = len(pdf)
-                if n == 0:
-                    out["maybe_seen"] = pd.Series([], dtype=bool)
-                    yield out[cols]
-                    continue
-                # ONE (n, k) position matrix per Arrow batch; the bit test
-                # then runs vectorized per shard group instead of per row
-                # (measured: the per-row loop was ~10x the numpy path on a
-                # fat-iteration candidate volume)
-                pos = np.stack(
-                    [np.asarray(p, dtype=np.int64) for p in pdf["_pos"]]
-                )
-                sid = pdf["_shard"].to_numpy()
-                flags = np.zeros(n, dtype=bool)
-                for s in np.unique(sid):
-                    bits = local.get(int(s))
-                    if bits is None:
-                        continue  # shard never written -> definitely unseen
-                    m = sid == s
-                    p = pos[m]
-                    flags[m] = ((bits[p >> 3] >> (p & 7)) & 1).all(axis=1)
-                out["maybe_seen"] = flags
-                yield out[cols]
+            n = len(sid_s)
+            if n == 0:
+                return pd.Series([], dtype=bool)
+            # ONE (n, k) position matrix per Arrow batch; the bit test
+            # then runs vectorized per shard group instead of per row
+            # (measured: the per-row loop was ~10x the numpy path on a
+            # fat-iteration candidate volume)
+            pos = np.stack([np.asarray(p, dtype=np.int64) for p in pos_s])
+            sid = sid_s.to_numpy()
+            flags = np.zeros(n, dtype=bool)
+            for s in np.unique(sid):
+                bits = local.get(int(s))
+                if bits is None:
+                    continue  # shard never written -> definitely unseen
+                m = sid == s
+                p = pos[m]
+                flags[m] = ((bits[p >> 3] >> (p & 7)) & 1).all(axis=1)
+            return pd.Series(flags)
 
-        return probe_in.mapInPandas(probe_map, schema=out_schema)
+        return (
+            probe_in.withColumn(
+                "maybe_seen", probe_udf(F.col("_shard"), F.col("_pos"))
+            )
+            .drop(*drop)
+            .select(cols)
+        )
 
     shards = io.read_partitions(SHARDS_TABLE)
 

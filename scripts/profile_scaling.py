@@ -64,7 +64,10 @@ def one_run(wd, tag):
 # warmup (untimed, profile off for speed)
 os.environ["SPARK_CRAWL_PROFILE"] = "0"
 one_run(tempfile.mkdtemp(dir=shm, prefix="warm%s_" % n_exec), "warm")
-os.environ["SPARK_CRAWL_PROFILE"] = "2"
+# PROFILE=2 (default): deep barriers — exact per-phase walls, but the
+# barriers serialize the plan. PROFILE=1: production plan with coarse
+# marks (wave1/commit) — the walls that actually make up the bench.
+os.environ["SPARK_CRAWL_PROFILE"] = os.environ.get("PROF_LEVEL", "2")
 one_run(tempfile.mkdtemp(dir=shm, prefix="prof%s_" % n_exec), "timed")
 """
 
