@@ -768,28 +768,37 @@ class CrawlEngine:
         if cands is not None:
             barrier(cands, "cands+bloom+seen")
 
-        # --- response rows (every ready task; robots rows carry their body)
+        # --- response rows (every ready task; robots rows carry their body).
+        # The fold reads ONLY url/task_seq/marker/action/status + the robots
+        # trio (content_type/content_encoding/body, marker==1 rows) from
+        # resp-kind rows — host/rel/alt/text/target are candidate-side
+        # fields that would ride the cogroup exchange unread, so null them
+        # here (string payload ~= one row per ready task; pure shuffle-byte
+        # savings, the fold never looks at them for resps)
+        null_s = F.lit(None).cast("string")
+        is_robots = F.col("marker") == 1
         resp_rows = fetched.select(
             "job_id",
             F.lit("resp").alias("kind"),
             "task_seq",
             F.lit(0).alias("link_pos"),
             "url",
-            "host",
-            "rel",
-            "alt",
-            "text",
+            null_s.alias("host"),
+            null_s.alias("rel"),
+            null_s.alias("alt"),
+            null_s.alias("text"),
             "depth",
             "redirect",
-            "target",
+            null_s.alias("target"),
             "marker",
             F.lit(False).alias("seen_global"),
             "status",
-            "content_type",
-            "content_encoding",
+            F.when(is_robots, F.col("content_type")).alias("content_type"),
+            F.when(is_robots, F.col("content_encoding")).alias(
+                "content_encoding"),
             F.col("robots_body").alias("body"),
             "action",
-            F.lit(None).cast("string").alias("pre_action"),
+            null_s.alias("pre_action"),
         )
         if cands is None:
             chain_input = resp_rows
