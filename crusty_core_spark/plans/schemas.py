@@ -64,6 +64,10 @@ METRICS = (
 # engine.step; rows carrying it have their string payload (url/host/rel/
 # alt/text) nulled before the cogroup exchange and short-circuit the fold
 # (chain_stage.run_batch). Null pre_action = run the full chain_decide.
+# resp-kind rows are likewise slimmed at the source (engine.step): the fold
+# reads only url/task_seq/marker/action/status plus content_type/
+# content_encoding/body on robots (marker==1) rows, so host/rel/alt/text/
+# target arrive null for resps — pure shuffle-byte savings.
 CHAIN_IN = (
     "job_id long, kind string, task_seq long, link_pos int, url string, "
     "host string, rel string, alt string, text string, depth int, "
