@@ -44,7 +44,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
@@ -362,6 +362,55 @@ class CrawlEngine:
             .agg(F.sum("parent_seq_num").cast("long").alias("n"))
         )
 
+    def _chain_obs_metrics(self) -> list:
+        """Observation aggregates for the chain output (step's obs_chain).
+
+        Sched action counts over the closed accept/skip/term/rejected
+        domain (chain_decide verdicts + the scheme rejection; custom
+        task-filter verdicts map into it, operators/chain.py:257-273), and
+        the new tasks' touched bloom-shard / job-bucket id sets encoded as
+        bit_or bitmask words — (domain+63)//64 longs each — because
+        Observation aggregates cannot express a distinct."""
+        from crusty_core_spark.operators import bloom
+
+        cfg = self.cfg
+        if cfg.sched_log_detail:
+            base = F.col("row_kind") == "sched"
+
+            def cnt(a):
+                return (
+                    F.sum(F.when(base & (F.col("action") == a), 1)
+                          .otherwise(0)).cast("long").alias(a)
+                )
+        else:
+            base = F.col("row_kind") == "sched_count"
+
+            def cnt(a):
+                return (
+                    F.sum(F.when(base & (F.col("action") == a),
+                                 F.col("parent_seq_num")).otherwise(0))
+                    .cast("long").alias(a)
+                )
+
+        m = [cnt(a) for a in ("accept", "skip", "term", "rejected")]
+        is_task = F.col("row_kind") == "task"
+        shard = bloom.shard_id_col(F.col("host"), cfg.n_bloom_shards)
+        bucket = F.pmod(F.col("job_id"), F.lit(N_JOB_BUCKETS)).cast("int")
+        for prefix, col, dom in (("s", shard, cfg.n_bloom_shards),
+                                 ("b", bucket, N_JOB_BUCKETS)):
+            word = (col / F.lit(64)).cast("int")
+            bit = F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (col % 64).cast("int")
+            )
+            for w in range((dom + 63) // 64):
+                m.append(
+                    F.bit_or(
+                        F.when(is_task & (word == w), bit)
+                        .otherwise(F.lit(0).cast("long"))
+                    ).cast("long").alias(f"{prefix}{w}")
+                )
+        return m
+
     # ------------------------------------------------------------------ step
 
     def step(self) -> dict:
@@ -555,9 +604,35 @@ class CrawlEngine:
         # recompute would re-run the user's fetcher — a second network hit
         # per URL, and a non-deterministic fetcher could diverge from the
         # persisted classification (ADVICE r3).
-        fetched_full = fetched
+        # Fetch-side per-iteration counts ride the cache materialization
+        # itself (Dataset.observe = accumulator aggregates computed by
+        # whichever job FIRST materializes this plan: wave 1 via the
+        # redirect-candidates scan, or the chain job's resp rows in drain
+        # mode) — the old separate counts-collect job over the cache was a
+        # per-iteration latency barrier that scaled ~1.6x N→4N (mostly
+        # fixed scheduler latency the ratio pays 4x for). Only the facts
+        # the engine actually consumes are observed: total / processed /
+        # error-prefix counts (the metrics row and run() read nothing
+        # finer) and the global byte taps.
+        obs_fetch = Observation()
+        fetch_metrics = [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("action") == "processed", 1).otherwise(0))
+            .cast("long").alias("processed"),
+            F.sum(F.when(F.col("action").startswith("error"), 1).otherwise(0))
+            .cast("long").alias("errors"),
+            F.coalesce(F.sum("read_size"), F.lit(0)).cast("long").alias("rb"),
+            F.coalesce(F.sum("write_size"), F.lit(0)).cast("long").alias("wb"),
+        ]
         if not custom and self.pages is not None:
-            fetched = fetched.drop("html")
+            fetched_full = fetched  # fat recompute plan for the extract path
+            fetched = fetched.drop("html").observe(obs_fetch, *fetch_metrics)
+        else:
+            # fat persist: the extract path reads the same cached plan, so
+            # the observe node must live inside it (a separate un-observed
+            # alias would recompute the fetch — the ADVICE-r3 double-fetch)
+            fetched = fetched.observe(obs_fetch, *fetch_metrics)
+            fetched_full = fetched
         fetched.persist()
         barrier(fetched, "fetch+classify")
 
@@ -643,7 +718,13 @@ class CrawlEngine:
 
         cands_raw = parsed_links.unionByName(redirect_cands)
         if drain:
-            cands_raw = cands_raw.limit(0)
+            # an explicit empty LocalRelation, NOT limit(0): a limit above
+            # the observed fetched cache could early-terminate a wave-1 scan
+            # after 0 rows and register a PARTIAL obs_fetch result (the
+            # Observation keeps its first fire) — the empty relation carries
+            # no cache scan at all, so the first fire is the chain job's
+            # full resp-row materialization
+            cands_raw = self.spark.createDataFrame([], cands_raw.schema)
         cands_raw.persist()  # probe, pos-shard collect, backstop all read it
         # dropped below when the iteration produced zero candidates — the
         # Bloom probe / backstop / slim / union stages all launch tasks even
@@ -823,6 +904,18 @@ class CrawlEngine:
         chain_out = run_chain_stage(chain_input, job_state, self.cfg,
                                     custom_filters=self.custom_task_filters,
                                     drain=drain)
+        # chain-side counts ride the chain materialization the same way the
+        # fetch-side ones ride the fetch cache (see obs_fetch above): sched
+        # action counts over a CLOSED domain (accept/skip/term/rejected —
+        # chain_decide + the scheme rejection; custom task-filter verdicts
+        # map into it, operators/chain.py) and the new tasks' touched
+        # bloom-shard / job-bucket id SETS as bit_or bitmask words
+        # ((domain+63)//64 longs each) — the one distinct the old counts
+        # job needed. Replaces a 3-scan union collect per iteration.
+        obs_chain = Observation()
+        chain_out = chain_out.observe(
+            obs_chain, *self._chain_obs_metrics()
+        )
         chain_out.persist()
         barrier(chain_out, "chain")
 
@@ -882,95 +975,56 @@ class CrawlEngine:
             *user_cols,
         )
 
-        # ONE collect for every per-iteration driver fact: fetch action
-        # counts, sched action counts, the new tasks' bloom-shard ids
-        # (bounded by n_bloom_shards — passed straight to bloom.update so it
-        # needs no distinct job of its own) and job-bucket ids (bounded by
-        # N_JOB_BUCKETS — become next iteration's state-read prune set).
-        # The collect is submitted on a background thread and OVERLAPPED with
-        # the commit writers (VERDICT r2 #2): its scheduler latency + driver
-        # result fetch are driver-flat, so running it while the writers keep
-        # the executors busy removes it from the iteration's serial floor.
-        # Only the Bloom commit (needs the touched-shard ids) and the metrics
-        # row (needs the counts) wait on it.
-        from crusty_core_spark.operators import bloom
-
-        new_tasks = chain_out.filter(F.col("row_kind") == "task")
-        zero = F.lit(0).cast("long").alias("n")
-        zl = F.lit(0).cast("long")
-        # THREE scans, not six: the counts collect is a per-iteration
-        # latency barrier (it gates the metrics row + pending arithmetic),
-        # and each union branch is its own stage group — profiled 1.6x
-        # N->4N scaling, i.e. mostly fixed scheduler latency that the ratio
-        # pays 4x for. Fold the fetch-side byte taps into the action
-        # groupBy (extra agg columns are free) and the shard/bucket
-        # distincts into one pair-distinct scan (projections of the
-        # distinct pair set cover both value sets).
-        count_df = (
-            fetched.groupBy(F.lit("fetch").alias("fam"), "action")
-            .agg(F.count("*").alias("n"),
-                 F.coalesce(F.sum("read_size"), F.lit(0))
-                 .cast("long").alias("rb"),
-                 F.coalesce(F.sum("write_size"), F.lit(0))
-                 .cast("long").alias("wb"))
-            .unionByName(
-                self._sched_agg(chain_out).select(
-                    "fam", "action", "n", zl.alias("rb"), zl.alias("wb"))
-            )
-            .unionByName(
-                new_tasks.select(
-                    F.lit("sb").alias("fam"),
-                    F.concat_ws(
-                        ":",
-                        bloom.shard_id_col(F.col("host"), cfg.n_bloom_shards)
-                        .cast("string"),
-                        F.pmod(F.col("job_id"), F.lit(N_JOB_BUCKETS))
-                        .cast("int").cast("string"),
-                    ).alias("action"),
-                ).distinct().select("fam", "action", zero,
-                                    zl.alias("rb"), zl.alias("wb"))
-            )
-        )
-        if getattr(self, "_counts_pool", None) is None:
-            from concurrent.futures import ThreadPoolExecutor
-
-            self._counts_pool = ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="counts"
-            )
-        # ONE materialization wave BEFORE fanning out the counts collect and
-        # the commit writers. Concurrent jobs racing to compute the shared
-        # persisted plans serialize on executor block locks — a task blocked
-        # on an in-progress cached block still occupies its slot, so the
-        # fan-out wastes cores exactly when parallelism is highest (event-log
-        # measured: the counts job alone held 171 task-seconds of blocked
-        # slots at 4 executors vs 27 at 1). chain_out is the DAG sink — one
-        # count() runs fetch→extract→dedup→chain fully parallel with zero
-        # lock contention, and every downstream job then reads warm cache.
+        # ONE materialization wave BEFORE fanning out the commit writers.
+        # Concurrent jobs racing to compute the shared persisted plans
+        # serialize on executor block locks — a task blocked on an
+        # in-progress cached block still occupies its slot, so the fan-out
+        # wastes cores exactly when parallelism is highest (event-log
+        # measured: a concurrent counts job alone held 171 task-seconds of
+        # blocked slots at 4 executors vs 27 at 1). chain_out is the DAG
+        # sink — one count() runs fetch→extract→dedup→chain fully parallel
+        # with zero lock contention, and every downstream job reads warm
+        # cache. Every per-iteration driver fact (fetch/sched counts, byte
+        # taps, touched shard/bucket sets) was observed DURING this wave by
+        # obs_fetch/obs_chain — no counts job exists anymore; resolve just
+        # reads the accumulators.
         chain_out.count()
-        counts_fut = self._counts_pool.submit(count_df.collect)
 
         def resolve_counts():
-            rows = counts_fut.result()  # idempotent: Future caches its value
-            pairs = [
-                r["action"].split(":") for r in rows if r["fam"] == "sb"
-            ]
+            fm = obs_fetch.get  # blocks until the observed plan's first
+            cm = obs_chain.get  # action lands — both already did, above
+            n = int(fm["n"] or 0)
+            p = int(fm["processed"] or 0)
+            e = int(fm["errors"] or 0)
+            counts = {}
+            if p:
+                counts["processed"] = p
+            if e:
+                counts["error:all"] = e
+            if n - p - e:
+                counts["other"] = n - p - e
+            sched = {
+                a: int(cm[a] or 0)
+                for a in ("accept", "skip", "term", "rejected")
+                if cm[a]
+            }
+
+            def bits(prefix, dom):
+                out = []
+                for w in range((dom + 63) // 64):
+                    word = int(cm[f"{prefix}{w}"] or 0)
+                    out.extend(
+                        w * 64 + i for i in range(64) if word >> i & 1
+                    )
+                return out
+
             return {
-                "counts": {
-                    r["action"]: r["n"] for r in rows if r["fam"] == "fetch"
-                },
-                "sched": {
-                    r["action"]: r["n"] for r in rows if r["fam"] == "sched"
-                },
-                "bytes": {
-                    "read": sum(
-                        int(r["rb"]) for r in rows if r["fam"] == "fetch"
-                    ),
-                    "write": sum(
-                        int(r["wb"]) for r in rows if r["fam"] == "fetch"
-                    ),
-                },
-                "shards": sorted({int(s) for s, _b in pairs}),
-                "buckets": sorted({int(b) for _s, b in pairs}),
+                "counts": counts,
+                "sched": sched,
+                "bytes": {"read": int(fm["rb"] or 0),
+                          "write": int(fm["wb"] or 0)},
+                "shards": bits("s", cfg.n_bloom_shards),
+                "buckets": bits("b", N_JOB_BUCKETS),
             }
 
         mark("materialize")
