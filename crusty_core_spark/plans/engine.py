@@ -201,9 +201,10 @@ class CrawlEngine:
         than the distributed plan's fixed floor, so the crossover is
         (fixed floor seconds) × (local path rows/sec):
 
-        - floor: a distributed iteration issues ~8 independent Spark jobs
-          (fetch+persist materialization, the counts collect, the parallel
-          table writers); each pays scheduler/launch latency measured here
+        - floor: a distributed iteration issues ~7 independent Spark jobs
+          (fetch+persist materialization, the chain wave, the parallel
+          table writers; per-iteration counts ride the waves as observe
+          accumulators); each pays scheduler/launch latency measured here
           with a minimal 2-stage shuffle job (min of 3, after one warmup).
         - local throughput: the html-extract kernel dominates the local
           path; timed on synthetic ~3 KB pages, scaled by the fork-pool
