@@ -257,9 +257,22 @@ class CrawlEngine:
         Mirrors TaskScheduler::go root scheduling
         (main/src/task_scheduler.rs:119-132): the root candidate runs the full
         chain (with task_seq_num=0), which also performs the robots.txt root
-        swap when enabled."""
+        swap when enabled.
+
+        Dispatch mirrors step(): a thin seed list runs driver-local
+        (plans/local_step.seed_local — same kernels, same tables) because
+        the distributed seed is pure fixed floor: a cogroup exchange, two
+        collects and five writer jobs for per-row-trivial work. Seeding is
+        chain-only (no fetch/extract — roots cost ~30 µs/row vs ~0.6 ms
+        for a crawled page), so the cutover sits well above the iteration
+        threshold; 8× is conservative against the kernel-cost ratio."""
         spark = self.spark
         if not isinstance(seeds, DataFrame):
+            if self.local_thr and len(seeds) <= int(self.local_thr) * 8:
+                from crusty_core_spark.plans.local_step import seed_local
+
+                seed_local(self, [(int(j), u) for j, u in seeds])
+                return
             seeds = spark.createDataFrame(seeds, "job_id long, seed_url string")
         roots = (
             seeds.withColumn("url", canonicalize_udf(F.col("seed_url")))

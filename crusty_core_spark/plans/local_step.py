@@ -329,6 +329,271 @@ def _none(v):
     return v
 
 
+def seed_local(engine, seed_pairs: list[tuple[int, str]]) -> None:
+    """Driver-local seed — iteration 0 without the distributed chain stage.
+
+    ``CrawlEngine.seed`` is a chain-only iteration (no fetch, no extract):
+    root candidates fold through the exact filter chain and the results
+    land in the same tables. Running that through Spark costs the cogroup
+    exchange plus two collects plus five table-writer jobs — seconds of
+    fixed floor for what is per-row trivial work (measured: 2.8 s
+    foreground + ~1.8 s of deferred writers landing inside iteration 1,
+    for a 1 200-seed crawl whose local seed takes ~0.1 s). The same floor
+    exists on a real cluster's driver, so a scale-out engine wants the
+    thin-seed fast path just like the thin-iteration one.
+
+    Semantics are identical by construction: the SAME kernels run —
+    ``canonicalize_url`` (the function inside canonicalize_udf),
+    ``_url_host``/scheme twins, and ``make_chain_fn`` — and the commits go
+    through the same TableIO manifest (same schemas, same partition
+    layout, same checkpoint label), so distributed iterations, resume,
+    and readers interleave freely. Parity distributed-vs-local seed is
+    pinned by tests/test_fastpath.py."""
+    import re
+
+    import gc
+
+    cfg = engine.cfg
+    io = engine.io
+    gc_was_enabled = gc.isenabled()
+    gc.disable()
+    try:
+        with io.deferred_manifest():
+            _seed_local_inner(engine, seed_pairs, cfg, io, re)
+    finally:
+        if gc_was_enabled:
+            gc.enable()
+
+
+def _seed_local_inner(engine, seed_pairs, cfg, io, re):
+    from pyspark.sql import types as T
+
+    from crusty_core_spark.plans import schemas as S
+
+    scheme_re = re.compile(r"^([a-z][a-z0-9+.-]*):")
+
+    # --- canonicalize + host/scheme (python twins of the Column exprs)
+    roots = []
+    for job_id, seed_url in seed_pairs:
+        url = canonicalize_url(seed_url)
+        if url is None:
+            continue
+        m = scheme_re.match(url)
+        roots.append((int(job_id), url, _url_host(url) or "",
+                      m.group(1) if m else ""))
+
+    states = pd.DataFrame(
+        {
+            "job_id": pd.Series([r[0] for r in roots], dtype="int64"),
+            "root_url": [r[1] for r in roots],
+            "root_host": [r[2] for r in roots],
+            "root_scheme": [r[3] for r in roots],
+            "budget_used": pd.Series(0, index=range(len(roots)),
+                                     dtype="int64"),
+            "lpp_seq": pd.Series(-1, index=range(len(roots)), dtype="int64"),
+            "lpp_count": pd.Series(0, index=range(len(roots)), dtype="int64"),
+            "robots_state": "none",
+            "robots_rules": None,
+            "stashed_root_url": None,
+            "resp_counter": pd.Series(0, index=range(len(roots)),
+                                      dtype="int64"),
+            "seq_counter": pd.Series(0, index=range(len(roots)),
+                                     dtype="int64"),
+        },
+        columns=_STATE_COLS,
+    )
+    chain_in = pd.DataFrame(
+        {
+            "job_id": pd.Series([r[0] for r in roots], dtype="int64"),
+            "kind": "cand",
+            "task_seq": pd.Series(-1, index=range(len(roots)), dtype="int64"),
+            "link_pos": 0,
+            "url": [r[1] for r in roots],
+            "host": [r[2] for r in roots],
+            "rel": "",
+            "alt": "",
+            "text": "",
+            "depth": 0,
+            "redirect": 0,
+            "target": "Follow",
+            "marker": 0,
+            "seen_global": False,
+        },
+        columns=_CHAIN_IN_COLS,
+    )
+
+    # --- the exact chain fold (same pool split as step_local)
+    n_workers = cfg.resolved_local_workers()
+    if (
+        n_workers > 1
+        and len(chain_in) >= 2000
+        and _picklable(engine.custom_task_filters)
+    ):
+        in_g = chain_in["job_id"].astype("int64") % n_workers
+        st_g = states["job_id"].astype("int64") % n_workers
+        tasks = [
+            (cfg, engine.custom_task_filters, False, g,
+             chain_in[in_g == g], states[st_g == g])
+            for g in range(n_workers)
+        ]
+        parts = [p for p in _get_pool(n_workers).map(_chain_worker, tasks)
+                 if len(p)]
+        chain_out = (
+            pd.concat(parts, ignore_index=True)
+            if parts else pd.DataFrame(columns=S.CHAIN_OUT_COLS)
+        )
+    else:
+        fn = make_chain_fn(cfg, engine.custom_task_filters, False)
+        chain_out = fn((0,), chain_in, states)
+    if not len(chain_out):
+        chain_out = pd.DataFrame(columns=S.CHAIN_OUT_COLS)
+
+    # --- sched counters (mirror of _sched_agg)
+    if cfg.sched_log_detail:
+        sched_counts = (
+            chain_out[chain_out["row_kind"] == "sched"]
+            .groupby("action").size().to_dict()
+        )
+    else:
+        sc = chain_out[chain_out["row_kind"] == "sched_count"]
+        sched_counts = (
+            sc.groupby("action")["parent_seq_num"].sum().astype(int).to_dict()
+        )
+    engine._sched_counts = {k: int(v) for k, v in sched_counts.items()}
+
+    def _schema(name, ddl):
+        if io.exists(name) or io.snapshot_id(name) > 0:
+            return io.schema(name)
+        return T.StructType.fromDDL(ddl)
+
+    # --- commits (same tables, same layout as the distributed seed)
+    new_tasks = chain_out[chain_out["row_kind"] == "task"]
+    log_rows = chain_out[chain_out["row_kind"] != "state"].copy()
+    log_rows["iter"] = 0
+    chain_schema = _schema("chain", S.CHAIN_OUT).add("iter", T.LongType())
+    io.append_pdf("chain", log_rows, chain_schema,
+                  n_files=min(16, len(log_rows) // 25_000 + 1))
+
+    states_out = chain_out[chain_out["row_kind"] == "state"][
+        _STATE_COLS
+    ].copy()
+    states_out["_bucket"] = (
+        states_out["job_id"].astype("int64") % N_JOB_BUCKETS
+    )
+    # fresh-table schemas carry the partition column exactly like the
+    # distributed writers' frames (withColumn appends it last)
+    js_schema = (
+        io.schema("job_state")
+        if io.exists("job_state") or io.snapshot_id("job_state") > 0
+        else T.StructType.fromDDL(S.JOB_STATE).add("_bucket",
+                                                   T.IntegerType())
+    )
+    io.overwrite_partitions_pdf("job_state", states_out, "_bucket", js_schema)
+
+    hosts_list = new_tasks["host"].tolist()
+    shard_by_host = {
+        h: bloom_shard_id(h or "", cfg.n_bloom_shards)
+        for h in set(hosts_list)
+    }
+    seen_new = new_tasks[["job_id", "url"]].copy()
+    seen_new["added_iter"] = 0
+    seen_new["shard"] = [shard_by_host[h] for h in hosts_list]
+    us_schema = (
+        io.schema("url_seen")
+        if io.exists("url_seen") or io.snapshot_id("url_seen") > 0
+        else T.StructType.fromDDL(S.URL_SEEN).add("shard", T.IntegerType())
+    )
+    io.append_partitions_pdf("url_seen", seen_new, "shard", us_schema)
+
+    if cfg.use_bloom and len(new_tasks):
+        jobs_list = new_tasks["job_id"].tolist()
+        urls_list = new_tasks["url"].tolist()
+        if n_workers > 1 and len(jobs_list) >= 20_000:
+            import numpy as np
+
+            splits = [
+                ix for ix in np.array_split(np.arange(len(jobs_list)),
+                                            n_workers) if len(ix)
+            ]
+            parts = _get_pool(n_workers).map(
+                _bloom_positions_worker,
+                [
+                    (cfg.bloom_num_hashes, cfg.bloom_bits_per_shard,
+                     [jobs_list[i] for i in ix], [urls_list[i] for i in ix])
+                    for ix in splits
+                ],
+            )
+            positions = [p for part in parts for p in part]
+        else:
+            positions = [
+                bloom_positions(int(j), u, cfg.bloom_num_hashes,
+                                cfg.bloom_bits_per_shard)
+                for j, u in zip(jobs_list, urls_list)
+            ]
+        bloom.merge_pairs_local(
+            io, cfg,
+            [(shard_by_host[h], p) for h, p in zip(hosts_list, positions)],
+        )
+
+    if cfg.delay_ms > 0:
+        tasks_pdf = new_tasks[_TASK_SLICE].copy()
+        tasks_pdf["next_fetch_iter"] = 1
+        tasks_pdf["added_iter"] = 0
+        io.overwrite_pdf(
+            "frontier_pending", tasks_pdf[_FRONTIER_COLS],
+            _schema("frontier_pending", S.FRONTIER),
+            n_files=min(16, len(tasks_pdf) // 25_000 + 1),
+        )
+        next_job_ids = set(tasks_pdf["job_id"].tolist())
+    else:
+        next_job_ids = set(new_tasks["job_id"].tolist())
+
+    state_rows = chain_out[chain_out["row_kind"] == "state"]
+    touched = state_rows[
+        state_rows["action"].isin(["touched", "touched_done"])
+    ]
+    finished = touched[~touched["job_id"].isin(next_job_ids)]
+    job_log_pdf = pd.DataFrame(
+        {
+            "job_id": finished["job_id"].astype("int64"),
+            "iter": 0,
+            "reason": "RootRejected",
+            "budget_used": finished["budget_used"].astype("int64"),
+            "resp_counter": finished["resp_counter"].astype("int64"),
+            "seq_counter": finished["seq_counter"].astype("int64"),
+        }
+    )
+    io.append_pdf("job_log", job_log_pdf, _schema("job_log", S.JOB_LOG))
+
+    # --- metrics row + state + checkpoint (same shape as the Spark seed,
+    #     exec_local flagged)
+    row = [
+        0, 0, 0, 0,
+        sum(engine._sched_counts.values()),
+        engine._sched_counts.get("accept", 0),
+        engine._sched_counts.get("skip", 0),
+        engine._sched_counts.get("term", 0),
+        0, 0, 0, 0, 0,
+        1,
+    ]
+    buf = list(io.state.get("metrics_buffer", []))
+    buf.append(row)
+    io.state["metrics_buffer"] = buf
+
+    seeded_buckets = sorted(
+        {int(j) % N_JOB_BUCKETS for j in new_tasks["job_id"].tolist()}
+    )
+    engine._maybe_compact()
+    io.set_state(
+        iter=0,
+        seeded=True,
+        cfg=cfg.to_dict(),
+        pending=engine._sched_counts.get("accept", 0),
+        pending_buckets=seeded_buckets,
+    )
+    io.checkpoint("iter-000000")
+
+
 def step_local(engine, it: int) -> dict:
     """One crawl iteration on the driver; same contract as CrawlEngine.step.
 

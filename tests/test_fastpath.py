@@ -171,6 +171,81 @@ def test_fetcher_equivalent_to_pages_join(spark, workdir):
     assert _log(eng_jd) == _log(eng_fd)
 
 
+def test_seed_local_vs_distributed(spark, workdir):
+    """The driver-local seed path (plans/local_step.seed_local — taken
+    whenever len(seeds) <= local_thr*8) must leave byte-equal tables and
+    state behind vs the distributed seed, including un-canonicalizable and
+    scheme-rejected roots (RootRejected job_log records), across robots
+    on/off and politeness modes."""
+    spec = CorpusSpec(n_hosts=7, base_pages_per_host=8, seed=21)
+    rows, seeds = gen_corpus(spec)
+    seeds = list(seeds) + [
+        (900, "notaurl"),                       # canonicalizes to None
+        (901, "ftp://files.example/x"),         # scheme-rejected by chain
+        (902, "HTTP://Upper.Example:80/a#frag"),  # canonical != raw
+    ]
+    for robots in (True, False):
+        for delay in (0, 500):
+            mk = lambda thr: CrawlConfig(  # noqa: E731
+                robots_txt=robots, delay_ms=delay, local_iter_threshold=thr
+            )
+            # thr=0 disables the local path entirely → distributed seed;
+            # the default-thr engine takes the local seed (10 seeds < 8*thr)
+            tag = f"{int(robots)}_{delay}"
+            eng_d = CrawlEngine(spark, pages_df(spark, rows),
+                                workdir + f"/d{tag}", mk(0))
+            eng_l = CrawlEngine(spark, pages_df(spark, rows),
+                                workdir + f"/l{tag}", mk(20000))
+            eng_d.seed(seeds)
+            eng_l.seed(seeds)
+            for eng in (eng_d, eng_l):
+                eng._join_deferred()
+
+            def snap(eng):
+                chain = sorted(
+                    tuple(r)
+                    for r in eng.io.read("chain")
+                    .filter(F.col("row_kind") != "sched_count")
+                    .select("row_kind", "job_id", "task_seq", "url", "host",
+                            "depth", "target", "marker", "action", "iter")
+                    .collect()
+                )
+                sched_totals = sorted(
+                    tuple(r)
+                    for r in eng._sched_agg(
+                        eng.io.read("chain"))
+                    .collect()
+                ) if not eng.cfg.sched_log_detail else None
+                seen = sorted(
+                    tuple(r) for r in eng.url_seen_df().collect()
+                )
+                states = sorted(
+                    tuple(r) for r in eng._job_state_df().collect()
+                )
+                job_log = sorted(
+                    tuple(r)
+                    for r in eng.job_log_df().select(
+                        "job_id", "iter", "reason", "budget_used"
+                    ).collect()
+                )
+                return (chain, sched_totals, seen, states, job_log,
+                        eng.pending_count(),
+                        tuple(eng.io.state.get("pending_buckets") or ()))
+
+            assert snap(eng_d) == snap(eng_l), (robots, delay)
+            # both seeds checkpoint under the same label → resume works
+            # from either
+            assert "iter-000000" in eng_l.io.list_checkpoints()[-1]
+
+    # full crawl after a LOCAL seed with distributed iterations must equal
+    # the all-distributed crawl (seed cap sits above the step threshold)
+    cfg_d = CrawlConfig(local_iter_threshold=0)
+    cfg_ls = CrawlConfig(local_iter_threshold=2)  # seed local (10 <= 16)
+    eng_a = _run_engine(spark, workdir + "/fa", rows, seeds, cfg_d)
+    eng_b = _run_engine(spark, workdir + "/fb", rows, seeds, cfg_ls)
+    assert _engine_state(eng_a) == _engine_state(eng_b)
+
+
 def test_compaction_crawl_parity(spark, workdir):
     """compact_max_files=1 forces a compaction of url_seen/chain/fetch_log
     after nearly every iteration, across BOTH execution paths (mixed
