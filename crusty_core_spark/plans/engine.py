@@ -70,6 +70,11 @@ PAGE_COLS = ["url", "html", "status", "location", "content_type", "content_encod
 #: the partially-committed iterations deterministically.
 _DEFERRED_JOIN_BY_WORKDIR: dict = {}
 
+#: (spark applicationId, pool width) → resolved local/distributed
+#: crossover rows; the calibration probe costs a few seconds, so engines
+#: sharing a session share the measurement
+_CALIBRATION_CACHE: dict = {}
+
 
 def _drain_workdir(workdir: str) -> str:
     """Join any in-flight deferred commits another in-process engine still
@@ -198,31 +203,50 @@ class CrawlEngine:
         """Measure the local/distributed crossover for THIS session.
 
         The local path wins while an iteration's python work costs less
-        than the distributed plan's fixed floor, so the crossover is
-        (fixed floor seconds) × (local path rows/sec):
+        than the distributed plan's fixed per-iteration cost, so the
+        crossover is (distributed fixed cost seconds) × (local path
+        rows/sec):
 
-        - floor: a distributed iteration issues ~7 independent Spark jobs
-          (fetch+persist materialization, the chain wave, the parallel
-          table writers; per-iteration counts ride the waves as observe
-          accumulators); each pays scheduler/launch latency measured here
-          with a minimal 2-stage shuffle job (min of 3, after one warmup).
-        - local throughput: the html-extract kernel dominates the local
-          path; timed on synthetic ~3 KB pages, scaled by the fork-pool
-          width × 0.7 (measured pool efficiency ceiling, BENCH.md).
+        A local iteration over n rows costs n/L; a distributed one costs
+        F + n/D (fixed floor plus per-row work at the cluster's pace).
+        The crossover solves n/L = F + n/D:
 
-        Clamped to [2_000, 100_000]; resolved once at construction (VERDICT
-        r2 #5 — data over constants)."""
+            n* = F / (1/L - 1/D)   when L > D, else unbounded (capped)
+
+        All three quantities are MEASURED on this session, with the real
+        kernels:
+
+        - F: a thin (96-row) probe with the SHAPE of a real iteration —
+          window rank, equi-join, an Arrow ``mapInPandas`` crossing, a
+          cogroup ``applyInPandas``, a parquet write (min of 2 after a
+          warmup). The earlier toy probe (2-stage shuffle × 8 jobs) was
+          blind to AQE re-planning and python-worker scheduling and
+          under-read the floor.
+        - D: the same pipeline over 4 096 rows carrying ~3 KB html
+          through the REAL extract kernel inside ``mapInPandas``; its
+          per-row rate is (4096 - 96) / (t_mid - F). On a multi-executor
+          cluster D grows with the executor count and n* converges to
+          F × L (the floor-amortization rule); on a single box D is
+          bounded by the same cores L uses, so n* honestly caps out.
+        - L: the pooled extract-kernel rate on the same ~3 KB pages
+          (the fork pool the local path actually uses) × 0.35 — extract
+          is ~1/3 of a local iteration's wall (profiled: extract /
+          dedup+chain / commit split roughly even at 1-12 k rows).
+
+        Clamped to [2_000, 100_000] — the cap bounds how much work the
+        driver may take per iteration regardless of ratios. Resolved once
+        per (session, pool width) and cached; probe failure falls back to
+        the constant default (VERDICT r2 #5 — data over constants)."""
         import pandas as pd
 
-        def spark_job():
-            t0 = time.time()
-            self.spark.range(0, 1024, 1, 8).groupBy(
-                (F.col("id") % 8).alias("g")
-            ).count().collect()
-            return time.time() - t0
+        workers = self.cfg.resolved_local_workers()
+        cache_key = (self.spark.sparkContext.applicationId, workers)
+        cached = _CALIBRATION_CACHE.get(cache_key)
+        if cached is not None:
+            return cached
 
-        spark_job()  # warm the scheduler/codegen path
-        floor_s = min(spark_job() for _ in range(3))
+        import shutil
+        import tempfile
 
         from crusty_core_spark.functions.extract import _extract_batches
 
@@ -231,23 +255,93 @@ class CrawlEngine:
             + b'<p>lorem ipsum dolor </p><a href="/x">x</a>' * 60
             + b"</body></html>"
         )
-        n_rows = 96
-        pdf = pd.DataFrame(
-            {
-                "url": [f"http://cal.example/{i}" for i in range(n_rows)],
-                "depth": [0] * n_rows,
-                "html": [html] * n_rows,
-                "content_encoding": [None] * n_rows,
-            }
+
+        def frame(n):
+            return pd.DataFrame(
+                {
+                    "job_id": [i % 31 for i in range(n)],
+                    "host": [f"h{i % 7}.cal.example" for i in range(n)],
+                    "url": [f"http://h{i % 7}.cal.example/p{i}"
+                            for i in range(n)],
+                    "depth": [0] * n,
+                    "html": [html] * n,
+                    "content_encoding": [None] * n,
+                }
+            )
+
+        def extract_pass(it):
+            for pdf in it:
+                ex = next(_extract_batches(
+                    iter([pdf]), "html", "content_encoding", "url"))
+                yield pdf.drop(columns=["html"]).assign(n_links=len(ex))
+
+        out_dir = tempfile.mkdtemp(prefix="crusty_calib_")
+
+        def iteration_probe(n):
+            src = self.spark.createDataFrame(frame(n)).repartition(
+                int(self.spark.sparkContext.defaultParallelism))
+            right = self.spark.createDataFrame(
+                frame(96)[["job_id"]].drop_duplicates().assign(v=1))
+            t0 = time.time()
+            ranked = src.withColumn(
+                "_rn",
+                F.row_number().over(
+                    W.partitionBy("job_id", "host").orderBy("url")
+                ),
+            ).join(right, "job_id", "left")
+            out_schema = (
+                "job_id bigint, host string, url string, depth bigint, "
+                "content_encoding string, _rn int, v bigint, n_links bigint"
+            )
+            crossed = ranked.mapInPandas(extract_pass, schema=out_schema)
+            folded = crossed.groupBy("job_id").cogroup(
+                right.groupBy("job_id")
+            ).applyInPandas(lambda left, r: left, schema=out_schema)
+            folded.write.mode("overwrite").parquet(out_dir)
+            return time.time() - t0
+
+        try:
+            iteration_probe(96)  # warm: codegen, python workers, AQE paths
+            floor_s = min(iteration_probe(96) for _ in range(2))
+            t_mid = iteration_probe(4_096)
+        except Exception:
+            _CALIBRATION_CACHE[cache_key] = 20_000  # constant-default
+            return 20_000
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+        dist_rows_per_s = 4_000 / max(t_mid - floor_s, 1e-3)
+
+        # pooled local extract rate (the pool the local path actually runs)
+        from crusty_core_spark.plans.local_step import (
+            _extract_worker,
+            _get_pool,
         )
+
+        n_l = 2_048
+        pdf_l = frame(n_l)[["url", "depth", "html", "content_encoding"]]
         t0 = time.time()
-        next(_extract_batches(iter([pdf]), "html", "content_encoding", "url"))
-        per_row_s = max(time.time() - t0, 1e-6) / n_rows
-        workers = self.cfg.resolved_local_workers()
-        local_rows_per_s = (1.0 / per_row_s) * max(1, workers) * 0.7
-        n_jobs_per_iter = 8
-        thr = int(floor_s * n_jobs_per_iter * local_rows_per_s)
-        return max(2_000, min(100_000, thr))
+        if workers > 1:
+            import numpy as np
+
+            chunks = [
+                (c, (), None, [], None)
+                for c in np.array_split(pdf_l, workers) if len(c)
+            ]
+            _get_pool(workers).map(_extract_worker, chunks)
+        else:
+            next(_extract_batches(
+                iter([pdf_l]), "html", "content_encoding", "url"))
+        local_rows_per_s = (n_l / max(time.time() - t0, 1e-6)) * 0.35
+
+        if local_rows_per_s <= dist_rows_per_s:
+            thr = int(
+                floor_s / (1.0 / local_rows_per_s - 1.0 / dist_rows_per_s)
+            )
+        else:
+            thr = 100_000  # local at least matches the cluster's pace
+        thr = max(2_000, min(100_000, thr))
+        _CALIBRATION_CACHE[cache_key] = thr
+        return thr
 
     # ------------------------------------------------------------------ seed
 

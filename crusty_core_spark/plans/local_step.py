@@ -508,7 +508,10 @@ def _seed_local_inner(engine, seed_pairs, cfg, io, re):
     if cfg.use_bloom and len(new_tasks):
         jobs_list = new_tasks["job_id"].tolist()
         urls_list = new_tasks["url"].tolist()
-        if n_workers > 1 and len(jobs_list) >= 20_000:
+        # pool from ~2k rows: the pure-python xxhash64 twin costs ~60 us/
+        # url serial (12k new tasks = ~0.8 s of commit, cProfile-measured)
+        # while the fork-pool dispatch for a list of short urls is ~10 ms
+        if n_workers > 1 and len(jobs_list) >= 2_000:
             import numpy as np
 
             splits = [
@@ -1122,7 +1125,10 @@ def _step_local_inner(engine, it: int) -> dict:
     if cfg.use_bloom and len(new_tasks):
         jobs_list = new_tasks["job_id"].tolist()
         urls_list = new_tasks["url"].tolist()
-        if n_workers > 1 and len(jobs_list) >= 20_000:
+        # pool from ~2k rows: the pure-python xxhash64 twin costs ~60 us/
+        # url serial (12k new tasks = ~0.8 s of commit, cProfile-measured)
+        # while the fork-pool dispatch for a list of short urls is ~10 ms
+        if n_workers > 1 and len(jobs_list) >= 2_000:
             import numpy as np
 
             splits = [
