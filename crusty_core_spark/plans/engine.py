@@ -362,6 +362,7 @@ class CrawlEngine:
         threshold; 8× is conservative against the kernel-cost ratio."""
         spark = self.spark
         if not isinstance(seeds, DataFrame):
+            seeds = list(seeds)
             if self.local_thr and len(seeds) <= int(self.local_thr) * 8:
                 from crusty_core_spark.plans.local_step import seed_local
 
