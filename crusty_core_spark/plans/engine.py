@@ -245,9 +245,6 @@ class CrawlEngine:
         if cached is not None:
             return cached
 
-        import shutil
-        import tempfile
-
         from crusty_core_spark.functions.extract import _extract_batches
 
         html = (
@@ -275,8 +272,6 @@ class CrawlEngine:
                     iter([pdf]), "html", "content_encoding", "url"))
                 yield pdf.drop(columns=["html"]).assign(n_links=len(ex))
 
-        out_dir = tempfile.mkdtemp(prefix="crusty_calib_")
-
         def iteration_probe(n):
             src = self.spark.createDataFrame(frame(n)).repartition(
                 int(self.spark.sparkContext.defaultParallelism))
@@ -297,7 +292,11 @@ class CrawlEngine:
             folded = crossed.groupBy("job_id").cogroup(
                 right.groupBy("job_id")
             ).applyInPandas(lambda left, r: left, schema=out_schema)
-            folded.write.mode("overwrite").parquet(out_dir)
+            # noop sink: runs the whole plan (extract, exchange, cogroup)
+            # with zero output IO — unlike a driver-local tempdir it works
+            # identically on a multi-node cluster, the deployment 'auto'
+            # exists for
+            folded.write.mode("overwrite").format("noop").save()
             return time.time() - t0
 
         try:
@@ -305,10 +304,10 @@ class CrawlEngine:
             floor_s = min(iteration_probe(96) for _ in range(2))
             t_mid = iteration_probe(4_096)
         except Exception:
-            _CALIBRATION_CACHE[cache_key] = 20_000  # constant-default
+            # constant-default fallback — deliberately NOT cached, so a
+            # later engine in the same session retries after a transient
+            # failure instead of being pinned for the session's lifetime
             return 20_000
-        finally:
-            shutil.rmtree(out_dir, ignore_errors=True)
         dist_rows_per_s = 4_000 / max(t_mid - floor_s, 1e-3)
 
         # pooled local extract rate (the pool the local path actually runs)
@@ -323,8 +322,11 @@ class CrawlEngine:
         if workers > 1:
             import numpy as np
 
+            # expanders=None → DEFAULT_EXPANDERS, matching the serial
+            # branch and the distributed probe; () would skip per-link
+            # expansion and overstate the local rate
             chunks = [
-                (c, (), None, [], None)
+                (c, None, None, [], None)
                 for c in np.array_split(pdf_l, workers) if len(c)
             ]
             _get_pool(workers).map(_extract_worker, chunks)

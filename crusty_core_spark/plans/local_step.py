@@ -470,7 +470,14 @@ def _seed_local_inner(engine, seed_pairs, cfg, io, re):
     new_tasks = chain_out[chain_out["row_kind"] == "task"]
     log_rows = chain_out[chain_out["row_kind"] != "state"].copy()
     log_rows["iter"] = 0
-    chain_schema = _schema("chain", S.CHAIN_OUT).add("iter", T.LongType())
+    # an existing chain table's schema already carries 'iter' (appended at
+    # first write) — only the fresh-table DDL needs it added, else pyarrow
+    # raises Duplicate column names on re-seed into a crashed workdir
+    chain_schema = (
+        io.schema("chain")
+        if io.exists("chain") or io.snapshot_id("chain") > 0
+        else T.StructType.fromDDL(S.CHAIN_OUT).add("iter", T.LongType())
+    )
     io.append_pdf("chain", log_rows, chain_schema,
                   n_files=min(16, len(log_rows) // 25_000 + 1))
 

@@ -246,6 +246,53 @@ def test_seed_local_vs_distributed(spark, workdir):
     assert _engine_state(eng_a) == _engine_state(eng_b)
 
 
+def test_seed_local_pooled_parity_and_reseed(spark, workdir):
+    """>=2000 seeds drive seed_local through its POOLED branches — the
+    worker-split chain fold (len(chain_in) >= 2000) and the pooled
+    bloom_positions commit (>= 2000 new tasks) — under the same
+    byte-equality snapshot as the thin-seed parity case (ADVICE r4: those
+    branches previously ran only below the pool thresholds in tests, while
+    the fast-path cap admits up to 8×local_thr seeds through them).
+    Also pins the crash-recovery re-seed: a second seed into a workdir
+    whose chain table already exists (the deferred chain append landed
+    before a hard process death) must not raise — the fresh-table DDL
+    appends 'iter' but an existing table's schema already carries it."""
+    n = 2_500
+    seeds = [(i, f"http://seed{i % 977}.example/p{i}") for i in range(n)]
+    eng_d = CrawlEngine(spark, None, workdir + "/d",
+                        CrawlConfig(local_iter_threshold=0))
+    eng_l = CrawlEngine(spark, None, workdir + "/l",
+                        CrawlConfig(local_iter_threshold=20_000))
+    eng_d.seed(seeds)
+    eng_l.seed(seeds)
+    for eng in (eng_d, eng_l):
+        eng._join_deferred()
+
+    def snap(eng):
+        chain = sorted(
+            tuple(r)
+            for r in eng.io.read("chain")
+            .filter(F.col("row_kind") != "sched_count")
+            .select("row_kind", "job_id", "task_seq", "url", "host",
+                    "depth", "target", "marker", "action", "iter")
+            .collect()
+        )
+        seen = sorted(tuple(r) for r in eng.url_seen_df().collect())
+        states = sorted(tuple(r) for r in eng._job_state_df().collect())
+        return (chain, seen, states, eng.pending_count())
+
+    assert snap(eng_d) == snap(eng_l)
+
+    # recovery flow: new engine over the local-seeded workdir, more seeds
+    eng_r = CrawlEngine(spark, None, workdir + "/l",
+                        CrawlConfig(local_iter_threshold=20_000))
+    eng_r.seed([(9_000_000 + i, f"http://late{i}.example/") for i in range(5)])
+    eng_r._join_deferred()
+    sch = eng_r.io.schema("chain")
+    assert [f.name for f in sch.fields].count("iter") == 1
+    assert eng_r.url_seen_df().count() == n + 5
+
+
 def test_compaction_crawl_parity(spark, workdir):
     """compact_max_files=1 forces a compaction of url_seen/chain/fetch_log
     after nearly every iteration, across BOTH execution paths (mixed
