@@ -52,6 +52,17 @@ class CrawlConfig:
     connect_timeout_ms: int = 5_000
     status_timeout_ms: int = 5_000
     load_timeout_ms: int = 10_000
+    #: straggler tolerance for the live point-fetch stage (pages=None):
+    #: a wall deadline per fetch batch — URLs whose fetch hasn't finished
+    #: when it expires are NOT errors; they carry over to the next
+    #: iteration's pending frontier (wait_iters keeps counting) and are
+    #: then fetched deadline-exempt, so every URL still gets its full
+    #: per-task timeout budget eventually. The reference's async per-domain
+    #: workers never let one slow host stall other domains
+    #: (task_processor.rs:362-398); this is the BSP analogue. None = off
+    #: (an iteration waits out its slowest fetch, bounded by the per-task
+    #: timeouts). Ignored in pages-join mode, which has no live network.
+    fetch_deadline_ms: int | None = None
     # engine
     max_iterations: int = 1000
     use_bloom: bool = True  # Bloom-shard prefilter in front of the exact set

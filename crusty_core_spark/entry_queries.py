@@ -923,10 +923,13 @@ def _ensure_crawl_output(spark, sf) -> str:
 # materializes the files the SQL reads)
 _CRAWL01 = _crawl_output_dir("/root/testdata/sf0.01")
 
-#: fetch_log columns exposed row-level by q30 — everything except the
-#: ``headers`` map (maps don't hash through the driver's pandas-sort
-#: canonicalizer; header CONTENTS are hash-checked by q36, and the
-#: header-derived read_size/write_size byte tap IS included here)
+#: fetch_log columns exposed row-level by q30. The ``headers`` map itself
+#: can't ride the driver's pandas-sort canonicalizer, so it is serialized
+#: to a deterministic key-sorted ``k=v`` text column on BOTH engines
+#: (Spark sort_array over map_entries ≡ DuckDB list_sort over map_entries:
+#: both order the entry structs by key, then value) — every fetch_log
+#: column is now row-level hash-checked, per-row header placement included
+#: (VERDICT r4 #4; q36 additionally hash-checks aggregated contents).
 _Q30_COLS = [
     "iter", "job_id", "task_seq", "url", "depth", "redirect", "target",
     "marker", "status", "action", "n_links", "title", "bytes",
@@ -937,7 +940,12 @@ _Q30_COLS = [
 @q(
     "q30_crawl_fetch_log",
     f"""
-    SELECT {", ".join(_Q30_COLS)}
+    SELECT {", ".join(_Q30_COLS)},
+           array_to_string(
+               list_transform(list_sort(map_entries(headers)),
+                              e -> e.key || '=' ||
+                                   array_to_string(e.value, ',')),
+               chr(10)) AS headers_canon
     FROM read_parquet('{_CRAWL01}/fetch_log/*.parquet')
     ORDER BY job_id, task_seq, iter
     """,
@@ -947,13 +955,26 @@ def q30(spark, sf):
     crawl engine over the derived corpus (budgets, robots, redirects,
     dedup all active), materialize its fetch_log, and return EVERY row —
     DuckDB reads the very same parquet, so crawl ordering (task_seq),
-    actions, depths, byte taps are value-hash-checked end to end.
+    actions, depths, byte taps AND per-row response headers are
+    value-hash-checked end to end.
     Reference analogue: the JobUpdate stream (types.rs:337-341,
     task_processor.rs:379-383) consumed to completion."""
     out = _ensure_crawl_output(spark, sf)
+    entry = F.sort_array(F.map_entries("headers"))
     return (
         spark.read.parquet(f"{out}/fetch_log")
-        .select(*_Q30_COLS)
+        .select(
+            *_Q30_COLS,
+            F.array_join(
+                F.transform(
+                    entry,
+                    lambda e: F.concat(
+                        e["key"], F.lit("="), F.array_join(e["value"], ",")
+                    ),
+                ),
+                "\n",
+            ).alias("headers_canon"),
+        )
         .orderBy("job_id", "task_seq", "iter")
     )
 
@@ -1108,7 +1129,7 @@ def q37(spark, sf):
 # version-tagged like the crawl oracle: the fake decode is deterministic
 # pure Python, so its OUTPUT is plain data — materialize it once per sf and
 # hash-check aggregates in DuckDB over the very same parquet files.
-_MEDIA_ORACLE_ROOT = "/dev/shm/crusty_entry_media_v1"
+_MEDIA_ORACLE_ROOT = "/dev/shm/crusty_entry_media_v2"
 
 
 def _media_output_dir(sf: str) -> str:
@@ -1132,21 +1153,46 @@ def _ensure_media_output(spark, sf) -> str:
         return out
     shutil.rmtree(out, ignore_errors=True)
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
-    magic = (
-        F.when(F.col("doc_id") % 3 == 0, F.lit(b"\x89PNG\r\n"))
-        .when(F.col("doc_id") % 3 == 1, F.lit(b"\xff\xd8\xff\xe0"))
-        .otherwise(F.lit(b"RIFF"))
-    )
-    payload = F.concat(magic, F.encode(F.substring("text", 1, 400), "utf-8"))
-    media = d.select(
-        F.col("doc_id").alias("media_id"),
-        F.concat(F.lit("http://media/"), F.col("doc_id")).alias("url"),
-        payload.alias("payload"),
-        F.struct(
-            F.lit("unknown").alias("media_type"),
-            F.lit("unknown").alias("format"),
-            F.length("text").cast("long").alias("bytes"),
-        ).alias("meta"),
+    # VALID payloads (round 5): doc_id%3==0 → a real PNG, %3==2 → a real
+    # GIF (both built by the stdlib encoders and decoded by the REAL
+    # stdlib decoders inside the feature stage — functions/multimodal.py);
+    # %3==1 keeps a JPEG signature + text bytes: JPEG is hook-only, so its
+    # rows exercise the deterministic-fake fallback path. Pixels derive
+    # from blake2b(doc text) — fully deterministic, no RNG.
+    import hashlib
+
+    import numpy as np
+
+    rows = []
+    for doc_id, text in d.select("doc_id", "text").collect():
+        doc_id = int(doc_id)
+        t = (text or "").encode()[:400]
+        if doc_id % 3 == 1:
+            payload = b"\xff\xd8\xff\xe0" + t
+        else:
+            w, h = 8 + doc_id % 9, 6 + doc_id % 7
+            need = w * h + 768
+            digest = b"".join(
+                hashlib.blake2b(t + bytes([i]), digest_size=64).digest()
+                for i in range(need // 64 + 1)
+            )
+            buf = np.frombuffer(digest[:need], np.uint8)
+            pal = buf[:768].reshape(256, 3)
+            idx = buf[768:].reshape(h, w)
+            if doc_id % 3 == 0:
+                from crusty_core_spark.functions.multimodal import encode_png
+
+                payload = encode_png(pal[idx])
+            else:
+                from crusty_core_spark.functions.multimodal import encode_gif
+
+                payload = encode_gif(pal, idx)
+        rows.append((doc_id, f"http://media/{doc_id}", payload,
+                     ("unknown", "unknown", len(t))))
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, url string, payload binary, "
+        "meta struct<media_type string, format string, bytes long>",
     )
     M.extract_media_features(media).coalesce(1).write.mode(
         "overwrite"

@@ -27,6 +27,7 @@ from urllib.parse import urlsplit
 import pandas as pd
 
 _ALLOW_ALL = "User-agent: *\nAllow: /"
+_UNSET = object()  # _group_cache sentinel (None is a valid cached value)
 
 
 def _pattern_to_regex(pattern: str) -> re.Pattern:
@@ -45,6 +46,7 @@ class RobotsMatcher:
         self.groups: dict[str, list[tuple[str, str]]] = {}
         self._parse(text or "")
         self._regex_cache: dict[str, re.Pattern] = {}
+        self._group_cache: dict[str, list[tuple[str, str]] | None] = {}
 
     def _parse(self, text: str) -> None:
         current_agents: list[str] = []
@@ -84,7 +86,20 @@ class RobotsMatcher:
         return self.groups.get("*")
 
     def allowed(self, user_agent: str, url: str) -> bool:
-        group = self._select_group(user_agent)
+        # hot path (called once per candidate surviving to the RobotsTxt
+        # filter): memoize the UA group selection, and skip the urlsplit +
+        # longest-match scan outright when the group carries no non-empty
+        # Disallow pattern — every branch of the scan then returns True
+        # (an Allow match and the no-match fallback are both True), which
+        # is the dominant allow-all case.
+        group = self._group_cache.get(user_agent, _UNSET)
+        if group is _UNSET:
+            group = self._select_group(user_agent)
+            if group is not None and not any(
+                k == "disallow" and p != "" for k, p in group
+            ):
+                group = None  # allow-everything ≡ no group
+            self._group_cache[user_agent] = group
         if group is None:
             return True
         parts = urlsplit(url)

@@ -45,7 +45,7 @@ FOLLOW_TARGETS = ("Follow", "HeadFollow")
 ROBOTS_MARKER = 1  # reference task_filters.rs:213
 
 
-@dataclass
+@dataclass(slots=True)
 class Candidate:
     """One link candidate entering the chain (reference rt::Task)."""
 
@@ -68,7 +68,7 @@ class Candidate:
     seen_global: bool = False
 
 
-@dataclass
+@dataclass(slots=True)
 class JobChainState:
     """Per-job mutable chain state (reference: the filter instances + ctx)."""
 

@@ -51,12 +51,18 @@ _STATE_COLS = ["job_id", "root_url", "root_host", "root_scheme",
                "seq_counter"]
 
 
+_NA = pd.NA
+
+
 def _nn(v, default=None):
-    """NaN/None-safe scalar."""
-    if v is None:
+    """NaN/None-safe scalar. Hot path: called per field per folded row, so
+    no pd.isna — None/pd.NA identity checks plus the NaN self-inequality
+    test cover every null representation the Arrow/pandas crossing
+    produces (strings/ints/bools are never self-unequal)."""
+    if v is None or v is _NA:
         return default
     try:
-        if pd.isna(v):
+        if v != v:  # float('nan') — the only self-unequal scalar here
             return default
     except (TypeError, ValueError):
         pass
@@ -84,14 +90,36 @@ def make_chain_fn(cfg, custom_filters: tuple = (), drain: bool = False):
 
         by_job: dict[int, list] = {}
         slim_pdf = None
+        slimagg_pdf = None
         #: (job_id, parent task_seq) -> term cutoff for every response batch
         #: this bucket processed: the non-slim row index at which the batch
         #: terminated (-1 = term at the stashed root re-emit), or BIG if the
         #: whole batch ran. Feeds the vectorized slim accounting below.
         processed_batches: dict[tuple[int, int], int] = {}
+        #: same idea in LINK_POS coordinates for SLIMAGG rows (engine.step's
+        #: JVM pre-aggregation — one row per (job, parent, action) instead
+        #: of one per slim candidate): the link_pos of the terminating row
+        #: (-1 = term at the stashed re-emit), or BIG. A pre-aggregated slim
+        #: candidate is logged iff its link_pos < the cut — equivalent to
+        #: the nb<=cut comparison because link_pos is the batch's unique
+        #: document-order sort key, so "before the term row" is the same
+        #: predicate in either coordinate.
+        pos_batches: dict[tuple[int, int], int] = {}
         _NO_TERM = 1 << 60
         if len(left):
             import numpy as np
+
+            sa_np = left["kind"].to_numpy() == "slimagg"
+            if sa_np.any():
+                # JVM-pre-aggregated slim verdicts: link_pos carries the
+                # count, text the comma-joined original positions (parsed
+                # only for the rare term-cut batches). Pulled out before
+                # the sort/fold — they never build Candidates.
+                slimagg_pdf = left.loc[
+                    sa_np, ["job_id", "task_seq", "link_pos", "text",
+                            "pre_action"]
+                ]
+                left = left.loc[~sa_np]
 
             ls = left.sort_values(["job_id", "kind", "task_seq", "link_pos"])
             cmask = ls["kind"].to_numpy() == "cand"
@@ -107,7 +135,48 @@ def make_chain_fn(cfg, custom_filters: tuple = (), drain: bool = False):
             tmp["f"] = np.where(cmask, pa_null, False).astype("int64")
             grp = tmp.groupby(["job_id", "task_seq"], sort=False)
             nb_incl = grp["f"].cumsum().to_numpy()
-            ls = ls.assign(rankpos=grp.cumcount().to_numpy(),
+            # SLIMAGG rank reconstruction: the pre-aggregated slim rows are
+            # absent from this frame, but `pos` (the task row's recorded
+            # batch position) must still count them — add, per full cand
+            # row, the number of slim positions before it in its batch
+            # (vectorized: explode the position lists, stable-sort the
+            # combined (batch, link_pos) keys, exclusive cumsum of the slim
+            # indicator). nsi is untouched — it indexes non-slim rows only.
+            adj = np.zeros(len(ls), dtype="int64")
+            if slimagg_pdf is not None and len(slimagg_pdf):
+                cand_sel = cmask & (ls["task_seq"].to_numpy() >= 0)
+                if cand_sel.any():
+                    ex = slimagg_pdf.assign(
+                        _p=slimagg_pdf["text"].str.split(",")
+                    ).explode("_p")
+                    pos_exp = pd.DataFrame({
+                        "job_id": ex["job_id"].to_numpy(),
+                        "task_seq": ex["task_seq"].to_numpy(),
+                        "link_pos": ex["_p"].astype("int64").to_numpy(),
+                        "_slim": 1,
+                        "_i": -1,
+                    })
+                    idx = np.flatnonzero(cand_sel)
+                    sub = pd.DataFrame({
+                        "job_id": ls["job_id"].to_numpy()[idx],
+                        "task_seq": ls["task_seq"].to_numpy()[idx],
+                        "link_pos": ls["link_pos"].to_numpy()[idx],
+                        "_slim": 0,
+                        "_i": idx,
+                    })
+                    allp = pd.concat([sub, pos_exp], ignore_index=True)
+                    allp = allp.sort_values(
+                        ["job_id", "task_seq", "link_pos"], kind="stable"
+                    )
+                    slim_np = allp["_slim"].to_numpy()
+                    before = (
+                        allp.groupby(["job_id", "task_seq"], sort=False)
+                        ["_slim"].cumsum().to_numpy() - slim_np
+                    )
+                    ii = allp["_i"].to_numpy()
+                    take = ii >= 0
+                    adj[ii[take]] = before[take]
+            ls = ls.assign(rankpos=grp.cumcount().to_numpy() + adj,
                            nsi=nb_incl - 1)
             # SLIM rows (engine.step, counts-only mode): the verdict for
             # stateless decisions — scheme rejection, no-follow skip,
@@ -151,17 +220,21 @@ def make_chain_fn(cfg, custom_filters: tuple = (), drain: bool = False):
 
             def run_batch(batch, parent_seq_num, parent_url, parent_seq,
                           stash=0):
-                """Fold one candidate batch; returns the term cutoff — the
-                non-slim row index at which the batch terminated (-1 = at the
-                stashed re-emit), or None if the whole batch ran."""
+                """Fold one candidate batch; returns the term cutoff as a
+                (nsi, link_pos) pair — the non-slim row index AND the
+                link_pos of the row at which the batch terminated (-1 = at
+                the stashed re-emit), or (None, None) if the whole batch
+                ran."""
                 nonlocal seq_counter
                 if drain:
                     # soft-timeout drain: responses are processed (robots
                     # state above still mutates) but nothing new is scheduled
                     # (task_scheduler.rs:134-157)
-                    return None
+                    return None, None
                 for item in batch:
+                    lp = -1
                     if not isinstance(item, Candidate):
+                        lp = int(item.link_pos)
                         # rankpos = the row's index within its ORIGINAL batch
                         # (slim rows included), so `pos` matches the old
                         # enumerate() exactly; stash offsets for the re-emit
@@ -195,7 +268,8 @@ def make_chain_fn(cfg, custom_filters: tuple = (), drain: bool = False):
                     log_sched(job_id, parent_seq_num, c.url, c.depth, pos,
                               action, name)
                     if action == "term":
-                        return nsi  # take_while (task_scheduler.rs:92-97)
+                        # take_while (task_scheduler.rs:92-97)
+                        return nsi, lp
                     if action == "skip":
                         continue
                     task_rows.append((job_id, seq_counter, sched.url,
@@ -207,7 +281,7 @@ def make_chain_fn(cfg, custom_filters: tuple = (), drain: bool = False):
                     lineage_rows.append((job_id, sched.url, st.root_url,
                                          sched.depth, parent_url))
                     seq_counter += 1
-                return None
+                return None, None
 
             rows = by_job.get(job_id)
             if rows:
@@ -270,10 +344,14 @@ def make_chain_fn(cfg, custom_filters: tuple = (), drain: bool = False):
                     # pulled out pre-fold and never build a Candidate)
                     pseq = int(r.task_seq)
                     batch.extend(by_parent.get(pseq, ()))
-                    cut = run_batch(batch, psn, r.url, pseq, stash)
+                    cut, cut_pos = run_batch(batch, psn, r.url, pseq, stash)
                     if slim_pdf is not None:
                         processed_batches[(job_id, pseq)] = (
                             _NO_TERM if cut is None else cut
+                        )
+                    if slimagg_pdf is not None:
+                        pos_batches[(job_id, pseq)] = (
+                            _NO_TERM if cut_pos is None else cut_pos
                         )
 
             ns = st.to_row()
@@ -309,6 +387,30 @@ def make_chain_fn(cfg, custom_filters: tuple = (), drain: bool = False):
             m = slim_pdf.merge(cuts, on=["job_id", "parent"], how="inner")
             for a, n in m.loc[m["nb"] <= m["cut"], "act"].value_counts().items():
                 sched_counts[a] = sched_counts.get(a, 0) + int(n)
+
+        # pre-aggregated slim accounting (one row per batch+action): a
+        # whole-batch-ran cut adds the row's count outright; a term cut
+        # parses the position list and counts positions strictly before the
+        # terminating row's link_pos. Unprocessed parents drop out of the
+        # inner merge exactly like the per-row slim path.
+        if slimagg_pdf is not None and pos_batches:
+            cuts = pd.DataFrame(
+                [(j, p, c) for (j, p), c in pos_batches.items()],
+                columns=["job_id", "task_seq", "cut"],
+            )
+            m = slimagg_pdf.merge(cuts, on=["job_id", "task_seq"],
+                                  how="inner")
+            ran = m["cut"] >= _NO_TERM
+            full_counts = m.loc[ran].groupby("pre_action")["link_pos"].sum()
+            for a, n in full_counts.items():
+                sched_counts[a] = sched_counts.get(a, 0) + int(n)
+            for r in m.loc[~ran].itertuples(index=False):
+                txt = r.text or ""
+                n = sum(1 for s in txt.split(",") if s and int(s) < r.cut)
+                if n:
+                    sched_counts[r.pre_action] = (
+                        sched_counts.get(r.pre_action, 0) + n
+                    )
 
         # counts-only mode: one row per (bucket, action) instead of one per
         # candidate; count travels in parent_seq_num
@@ -349,20 +451,52 @@ def make_chain_fn(cfg, custom_filters: tuple = (), drain: bool = False):
     return bucket_fn
 
 
+def make_chain_arrow_fn(cfg, custom_filters: tuple = (), drain: bool = False):
+    """Arrow-native cogroup entry around the same bucket fold.
+
+    ``applyInArrow`` hands the bucket over as ``pyarrow.Table`` — skipping
+    Spark's serializer-side Arrow→pandas conversion (measured ~0.3-0.5 s
+    of the 4N exchange floor on a 900 k-row iteration input) and letting
+    the exit build the output Table straight from the fold's frame with an
+    explicit schema (no inference pass). The fold itself is byte-identical:
+    the pandas kernel runs unchanged on a minimal-cost conversion
+    (``split_blocks+self_destruct`` — zero-copy for the int columns, which
+    are the row majority after the slimagg pre-aggregation)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    fn = make_chain_fn(cfg, custom_filters, drain)
+    out_schema = to_arrow_schema(T.StructType.fromDDL(CHAIN_OUT))
+
+    def arrow_fn(key, left: pa.Table, right: pa.Table) -> pa.Table:
+        lpdf = left.to_pandas(split_blocks=True, self_destruct=True)
+        rpdf = right.to_pandas(split_blocks=True, self_destruct=True)
+        out = fn(key, lpdf, rpdf)
+        return pa.Table.from_pandas(out, schema=out_schema,
+                                    preserve_index=False)
+
+    return arrow_fn
+
+
 def run_chain_stage(chain_input, job_state, cfg, n_buckets: int = N_JOB_BUCKETS,
                     custom_filters: tuple = (), drain: bool = False):
     """chain_input (CHAIN_IN rows) × job_state (JOB_STATE rows) → CHAIN_OUT.
 
     Jobs are hashed into ``n_buckets`` cogroup keys; exact per-job serial
-    semantics are preserved inside each bucket (jobs are independent)."""
+    semantics are preserved inside each bucket (jobs are independent).
+    SPARK_CRAWL_PANDAS_CHAIN forces the applyInPandas entry (A/B
+    measurement kill-switch; the fold kernel is shared either way)."""
+    import os
+
     from pyspark.sql import functions as F
 
     b = lambda c: F.pmod(F.col(c), F.lit(n_buckets)).cast("int")  # noqa: E731
     ci = chain_input.withColumn("_bucket", b("job_id"))
     js = job_state.withColumn("_bucket", b("job_id"))
-    return (
-        ci.groupBy("_bucket")
-        .cogroup(js.groupBy("_bucket"))
-        .applyInPandas(make_chain_fn(cfg, custom_filters, drain),
-                       schema=CHAIN_OUT)
-    )
+    grouped = ci.groupBy("_bucket").cogroup(js.groupBy("_bucket"))
+    if os.environ.get("SPARK_CRAWL_PANDAS_CHAIN"):
+        return grouped.applyInPandas(
+            make_chain_fn(cfg, custom_filters, drain), schema=CHAIN_OUT)
+    return grouped.applyInArrow(
+        make_chain_arrow_fn(cfg, custom_filters, drain), schema=CHAIN_OUT)

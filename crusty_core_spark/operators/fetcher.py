@@ -146,7 +146,12 @@ class UrllibFetcher:
             "content_encoding": headers.get("Content-Encoding"),
         }
 
-    def __call__(self, urls):
+    #: engine probe: this client understands the ``deadline_s`` kwarg (the
+    #: straggler carry-over contract, CrawlConfig.fetch_deadline_ms).
+    #: Custom fetchers opt in by setting the same attribute.
+    supports_deadline = True
+
+    def __call__(self, urls, deadline_s: float | None = None):
         import pandas as pd
 
         urls = list(urls)
@@ -154,6 +159,8 @@ class UrllibFetcher:
                 "content_encoding"]
         if not urls:
             return pd.DataFrame(columns=cols)
+        if deadline_s is not None:
+            return self._fetch_with_deadline(urls, deadline_s, cols)
         if len(urls) == 1:
             rows = [self._fetch_one(urls[0])]
         else:
@@ -166,3 +173,36 @@ class UrllibFetcher:
         return pd.DataFrame(
             [r for r in rows if r is not None], columns=cols
         )
+
+    def _fetch_with_deadline(self, urls, deadline_s, cols):
+        """Batch fetch under a wall deadline: finished fetches return
+        normally; unfinished/unstarted ones come back as rows with
+        ``deferred=True`` (and no payload) for the engine to re-queue into
+        the next iteration instead of waiting the stragglers out. The
+        in-flight threads are abandoned (their own per-stage timeouts
+        bound them); queued futures are cancelled outright."""
+        import pandas as pd
+        from concurrent.futures import ThreadPoolExecutor, wait
+
+        ex = ThreadPoolExecutor(max_workers=min(self.concurrency, len(urls)))
+        futs = {ex.submit(self._fetch_one, u): u for u in urls}
+        done, not_done = wait(futs, timeout=deadline_s)
+        deferred = []
+        for f in not_done:
+            f.cancel()
+            deferred.append(futs[f])
+        ex.shutdown(wait=False)
+        rows = []
+        for f in done:
+            r = f.result()
+            if r is not None:
+                rows.append(r)
+        out = pd.DataFrame(rows, columns=cols)
+        out["deferred"] = False
+        if deferred:
+            dpdf = pd.DataFrame({"url": deferred})
+            for c in cols[1:]:
+                dpdf[c] = None
+            dpdf["deferred"] = True
+            out = pd.concat([out, dpdf], ignore_index=True)
+        return out

@@ -62,6 +62,28 @@ from crusty_core_spark.sources.tables import TableIO
 
 PAGE_COLS = ["url", "html", "status", "location", "content_type", "content_encoding"]
 
+#: the pending-frontier row layout (engine._tasks_slice) — also the
+#: column order of the manifest-state ``deferred_tasks`` rows (straggler
+#: carry-over; url sits at index 2, read by _fetch_stage's exempt set)
+_PENDING_COLS = [
+    "job_id", "task_seq", "url", "host", "depth", "redirect", "target",
+    "marker", "rel", "alt", "text", "parent_url", "parent_seq", "link_pos",
+    "priority", "next_fetch_iter", "added_iter",
+]
+
+_PENDING_DDL = (
+    "job_id long, task_seq long, url string, host string, depth int, "
+    "redirect int, target string, marker int, rel string, alt string, "
+    "text string, parent_url string, parent_seq long, link_pos int, "
+    "priority int, next_fetch_iter long, added_iter long"
+)
+
+
+def _pending_schema():
+    from pyspark.sql import types as PT
+
+    return PT.StructType.fromDDL(_PENDING_DDL)
+
 #: in-flight deferred commits per workdir (join callables). A new engine
 #: taking over the same workdir IN-PROCESS (the kill/resume test pattern)
 #: joins the previous engine's deferred writers before touching the tables;
@@ -534,7 +556,14 @@ class CrawlEngine:
         import os
 
         thr = self.local_thr
-        if thr and 0 < int(self.io.state.get("pending", 0)) <= int(thr):
+        # straggler carry-overs pin the next iteration to the distributed
+        # plan: the local path's pending source (chain last-append) doesn't
+        # see them, and the deadline/exempt logic lives in _fetch_stage
+        if (
+            thr
+            and 0 < int(self.io.state.get("pending", 0)) <= int(thr)
+            and not self.io.state.get("deferred_tasks")
+        ):
             from crusty_core_spark.plans.local_step import step_local
 
             # the local path reads/writes the tables directly (pyarrow) —
@@ -647,11 +676,26 @@ class CrawlEngine:
         # status filters still apply, the size cap and parse do not;
         # Load/HeadLoad run the full load but never parse (to_parse below
         # filters on FOLLOW_TARGETS); Follow/HeadFollow run everything.
+        # straggler carry-over (live mode + fetch_deadline_ms): deferred
+        # rows get a non-terminal "deferred" action — they skip fetch_log /
+        # chain / parse this iteration and re-enter the pending frontier
+        live_deadline = (
+            self.pages is None
+            and cfg.fetch_deadline_ms
+            and getattr(self.fetcher, "supports_deadline", False)
+        )
+        action_head = F.when(
+            F.col("resolve_failed"), F.lit("error:ResolveError")
+        )
+        if live_deadline:
+            action_head = action_head.when(
+                F.col("fetch_deferred"), F.lit("deferred")
+            )
         fetched = fetched.withColumn(
             "canon_location", F.when(is_redirect, canon_loc)
         ).withColumn(
             "action",
-            F.when(F.col("resolve_failed"), F.lit("error:ResolveError"))
+            action_head
             .when(F.col("target") == "JustResolveDNS", F.lit("resolved"))
             .when(F.col("status").isNull(), F.lit("error:HttpError"))
             .when(
@@ -732,6 +776,8 @@ class CrawlEngine:
             .cast("long").alias("processed"),
             F.sum(F.when(F.col("action").startswith("error"), 1).otherwise(0))
             .cast("long").alias("errors"),
+            F.sum(F.when(F.col("action") == "deferred", 1).otherwise(0))
+            .cast("long").alias("deferred"),
             F.coalesce(F.sum("read_size"), F.lit(0)).cast("long").alias("rb"),
             F.coalesce(F.sum("write_size"), F.lit(0)).cast("long").alias("wb"),
         ]
@@ -914,23 +960,29 @@ class CrawlEngine:
                 .withColumn("body", F.lit(None).cast("binary"))
                 .withColumn("action", F.lit(None).cast("string"))
             )
-        # SLIM the known-skip candidates before the chain exchange
+        # SLIM the known-skip candidates OUT of the chain exchange
         # (counts-only mode): scheme rejection, the no-follow skip (filter
         # #1, task_filters.rs:297-306) and the committed-seen skip (filter
         # #3 via the precomputed seen_global flag) are stateless verdicts —
-        # precompute them JVM-side as ``pre_action`` and null the string
-        # payload (url/host/rel/alt/text) of those rows. On a dup-heavy fat
-        # iteration the majority of candidates are committed-seen, so this
-        # cuts the chain cogroup's shuffle volume by ~the dup ratio and
-        # skips their Candidate construction + chain_decide in the fold.
-        # EXACT semantics either way: the slim rows still ride their batch
-        # at their original positions (take_while/term drops them with the
-        # remainder; enumerate positions are unchanged) and the fold logs
-        # the precomputed action at the same point it would have decided it
-        # (operators/chain_stage.run_batch). Detail mode keeps full rows —
-        # its sched log records the urls.
+        # precompute them JVM-side as ``pre_action``, then AGGREGATE the
+        # slim rows JVM-side to one compact row per (job, parent, action):
+        # kind="slimagg", link_pos = the count, text = the comma-joined
+        # original positions. On a dup-heavy fat iteration the majority of
+        # candidates are committed-seen, so this removes ~60% of the rows
+        # from the cogroup's Arrow/pandas crossing entirely (measured
+        # 12.8x row compression on the 2M-row isolation-bench input) —
+        # only the full-fold minority crosses into Python at all.
+        # EXACT semantics: the fold records each processed batch's term
+        # cutoff in link_pos coordinates and counts a pre-aggregated slim
+        # verdict iff its position precedes the cut — the same take_while
+        # predicate the per-row path applied (operators/chain_stage.py,
+        # pinned by tests/test_chain_fold.py). Detail mode keeps full
+        # rows — its sched log records the urls.
         # SPARK_CRAWL_NO_SLIM: measurement kill-switch for A/B-ing the
-        # slimming against the identical build (bench methodology)
+        # slimming against the identical build (bench methodology);
+        # SPARK_CRAWL_SLIM_ROWS: the round-4 per-row slim exchange (slim
+        # rows ride individually with nulled strings), kept for A/B.
+        slim_cands = None
         if cands is None:
             pass
         elif not cfg.sched_log_detail and not os.environ.get(
@@ -951,12 +1003,16 @@ class CrawlEngine:
             keep = F.col("pre_action").isNull()
             for c in ("url", "host", "rel", "alt", "text"):
                 cands = cands.withColumn(c, F.when(keep, F.col(c)))
+            if not os.environ.get("SPARK_CRAWL_SLIM_ROWS"):
+                slim_cands = True  # split+aggregate below (needs the cache)
         else:
             cands = cands.withColumn(
                 "pre_action", F.lit(None).cast("string")
             )
-        if multi_read and cands is not None:
-            cands.persist()  # feeds both the chain input and the n_links agg
+        if (multi_read or slim_cands) and cands is not None:
+            # feeds the chain input and either the n_links agg (detail) or
+            # the slimagg + full-row branches (counts mode) — two readers
+            cands.persist()
         if cands is not None:
             barrier(cands, "cands+bloom+seen")
 
@@ -969,7 +1025,12 @@ class CrawlEngine:
         # savings, the fold never looks at them for resps)
         null_s = F.lit(None).cast("string")
         is_robots = F.col("marker") == 1
-        resp_rows = fetched.select(
+        resp_src = fetched
+        if live_deadline:
+            # deferred rows never reach the chain (no resp_counter advance,
+            # no robots mutation) — they are still pending
+            resp_src = fetched.filter(F.col("action") != "deferred")
+        resp_rows = resp_src.select(
             "job_id",
             F.lit("resp").alias("kind"),
             "task_seq",
@@ -995,8 +1056,50 @@ class CrawlEngine:
         if cands is None:
             chain_input = resp_rows
         else:
+            cand_side = cands
+            if slim_cands:
+                is_slim = F.col("pre_action").isNotNull() & (
+                    F.col("task_seq") >= 0
+                )
+                slimagg = (
+                    cands.filter(is_slim)
+                    .groupBy("job_id", "task_seq", "pre_action")
+                    .agg(
+                        F.count("*").cast("int").alias("link_pos"),
+                        F.concat_ws(
+                            ",",
+                            F.collect_list(F.col("link_pos").cast("string")),
+                        ).alias("text"),
+                    )
+                )
+                slimagg_rows = slimagg.select(
+                    "job_id",
+                    F.lit("slimagg").alias("kind"),
+                    "task_seq",
+                    "link_pos",
+                    null_s.alias("url"),
+                    null_s.alias("host"),
+                    null_s.alias("rel"),
+                    null_s.alias("alt"),
+                    "text",
+                    F.lit(0).alias("depth"),
+                    F.lit(0).alias("redirect"),
+                    null_s.alias("target"),
+                    F.lit(0).alias("marker"),
+                    F.lit(False).alias("seen_global"),
+                    F.lit(None).cast("int").alias("status"),
+                    null_s.alias("content_type"),
+                    null_s.alias("content_encoding"),
+                    F.lit(None).cast("binary").alias("body"),
+                    null_s.alias("action"),
+                    "pre_action",
+                )
+                fields = [f.name for f in resp_rows.schema.fields]
+                cand_side = cands.filter(~is_slim).select(*fields).unionByName(
+                    slimagg_rows.select(*fields)
+                )
             chain_input = resp_rows.unionByName(
-                cands.select(*[f.name for f in resp_rows.schema.fields])
+                cand_side.select(*[f.name for f in resp_rows.schema.fields])
             )
 
         # diagnostic hook: dump the chain stage's exact inputs so
@@ -1039,7 +1142,12 @@ class CrawlEngine:
                 f.name
                 for f in PT.StructType.fromDDL(self.user_extract_schema).fields
             ]
-        base_log = fetched.select(
+        log_src = fetched
+        if live_deadline:
+            # a deferred fetch is not an outcome — its row logs when it
+            # finally settles (wait_iters then spans the deferral)
+            log_src = fetched.filter(F.col("action") != "deferred")
+        base_log = log_src.select(
             F.lit(it).alias("iter"),
             "job_id",
             "task_seq",
@@ -1107,13 +1215,18 @@ class CrawlEngine:
             n = int(fm["n"] or 0)
             p = int(fm["processed"] or 0)
             e = int(fm["errors"] or 0)
+            d = int(fm["deferred"] or 0)
+            # deferred rows were NOT consumed — they re-enter the pending
+            # frontier, so every counts consumer (metrics n_ready, the
+            # pending arithmetic, run()'s progress check) sees only the
+            # rows this iteration actually settled
             counts = {}
             if p:
                 counts["processed"] = p
             if e:
                 counts["error:all"] = e
-            if n - p - e:
-                counts["other"] = n - p - e
+            if n - p - e - d:
+                counts["other"] = n - p - e - d
             sched = {
                 a: int(cm[a] or 0)
                 for a in ("accept", "skip", "term", "rejected")
@@ -1139,6 +1252,28 @@ class CrawlEngine:
             }
 
         mark("materialize")
+        # --- straggler carry-over: pull the deferred fetch rows (tiny —
+        #     one wave's unfinished stragglers) off the warm fetched cache,
+        #     re-queue them and exempt their jobs from completion. The rows
+        #     ride the manifest state, so a resumed engine re-pends them
+        #     deterministically; next iteration's fetch stage reads their
+        #     URLs as its deadline-exempt set.
+        def_rows: list[list] = []
+        if live_deadline:
+            import json
+
+            def_pdf = (
+                fetched.filter(F.col("action") == "deferred")
+                .select(*_PENDING_COLS)
+                .toPandas()
+            )
+            # plain python scalars — these rows ride the JSON manifest state
+            def_rows = json.loads(def_pdf.to_json(orient="values"))
+        deferred_jobs = sorted({int(r[0]) for r in def_rows})
+        if def_rows and remaining is not None:
+            remaining = remaining.select(*_PENDING_COLS).unionByName(
+                self.spark.createDataFrame(def_rows, _pending_schema())
+            )
         deferred_futs = self._commit_chain_out(
             chain_out,
             it=it,
@@ -1148,6 +1283,7 @@ class CrawlEngine:
             iter_t0=t0,
             finish_reason="SoftTimeout" if drain else "Complete",
             defer=True,
+            deferred_jobs=deferred_jobs,
         )
         mark("commit+counts")
         resolved = resolve_counts()
@@ -1167,8 +1303,19 @@ class CrawlEngine:
             new_buckets = sorted(
                 set(self.io.state.get("pending_buckets") or []) | set(new_buckets)
             )
+        if def_rows:
+            # deferred jobs' state buckets stay in next iteration's prune set
+            new_buckets = sorted(
+                set(new_buckets)
+                | {j % N_JOB_BUCKETS for j in deferred_jobs}
+            )
+        state_kw = {}
+        if live_deadline:
+            # overwritten every iteration: consumed carry-overs drop out,
+            # this wave's stragglers ride the (checkpointed) manifest state
+            state_kw["deferred_tasks"] = def_rows
         self.io.set_state(iter=it, pending=pending,
-                          pending_buckets=sorted(new_buckets))
+                          pending_buckets=sorted(new_buckets), **state_kw)
         # the slow, non-gating writers keep running in the background; the
         # next distributed iteration joins them after its fetch/extract
         # wave (maintenance + the frozen checkpoint run at the join — the
@@ -1180,7 +1327,12 @@ class CrawlEngine:
         # output (the deferred chain append lands before the checkpoint;
         # see _pending_df) — politeness mode keeps its explicit table
         if cfg.delay_ms == 0:
-            self._mem_pending = self._mem_slice(chain_out, it)
+            mem = self._mem_slice(chain_out, it)
+            if def_rows:
+                mem = mem.unionByName(
+                    self.spark.createDataFrame(def_rows, _pending_schema())
+                )
+            self._mem_pending = mem
         self._deferred = {
             "futures": deferred_futs,
             "unpersist": [df for df in
@@ -1250,15 +1402,34 @@ class CrawlEngine:
         from pyspark.sql import types as PT
 
         fetcher = self.fetcher
-        page_fields = PT.StructType.fromDDL(
+        # straggler tolerance (CrawlConfig.fetch_deadline_ms): a wall
+        # deadline per batch, deferred URLs re-queued by step(). URLs
+        # deferred LAST iteration (carried in the manifest state) are
+        # exempt this iteration — they fetch to their full per-task
+        # timeouts, so a persistently slow host still converges to a
+        # definite verdict instead of deferring forever.
+        deadline_s = None
+        exempt: set = set()
+        if self.cfg.fetch_deadline_ms and getattr(
+            fetcher, "supports_deadline", False
+        ):
+            deadline_s = self.cfg.fetch_deadline_ms / 1000.0
+            exempt = {
+                r[2] for r in (self.io.state.get("deferred_tasks") or ())
+            }
+        page_ddl = (
             "html binary, status int, location string, "
             "content_type string, content_encoding string"
         )
+        if deadline_s is not None:
+            page_ddl += ", fetch_deferred boolean"
+        page_fields = PT.StructType.fromDDL(page_ddl)
         out_schema = PT.StructType(
             list(ready.schema.fields) + list(page_fields.fields)
         )
         cols = [f.name for f in out_schema.fields]
-        page_cols = [f.name for f in page_fields.fields]
+        page_cols = [f.name for f in page_fields.fields
+                     if f.name != "fetch_deferred"]
 
         def fetch_batches(batches):
             for pdf in batches:
@@ -1275,7 +1446,20 @@ class CrawlEngine:
                         if not rf and tg != "JustResolveDNS"
                     }
                 )
-                res = fetcher(urls) if urls else None
+                if deadline_s is None:
+                    res = fetcher(urls) if urls else None
+                else:
+                    frames = []
+                    normal = [u for u in urls if u not in exempt]
+                    held = [u for u in urls if u in exempt]
+                    if normal:
+                        frames.append(fetcher(normal, deadline_s=deadline_s))
+                    if held:  # deadline-exempt: full per-task timeouts
+                        frames.append(fetcher(held))
+                    res = (
+                        pd.concat(frames, ignore_index=True)
+                        if frames else None
+                    )
                 if res is None or not len(res):
                     res = pd.DataFrame(columns=["url", *page_cols])
                 # a fetcher returning duplicate urls would multiply rows
@@ -1284,9 +1468,17 @@ class CrawlEngine:
                 for c in page_cols:
                     if c not in res.columns:
                         res[c] = None
-                out = pdf.merge(
-                    res[["url", *page_cols]], on="url", how="left"
+                if deadline_s is not None and "deferred" not in res.columns:
+                    res["deferred"] = False
+                merge_cols = ["url", *page_cols] + (
+                    ["deferred"] if deadline_s is not None else []
                 )
+                out = pdf.merge(res[merge_cols], on="url", how="left")
+                if deadline_s is not None:
+                    out = out.rename(columns={"deferred": "fetch_deferred"})
+                    out["fetch_deferred"] = (
+                        out["fetch_deferred"].fillna(False).astype(bool)
+                    )
                 # resolve-failed rows never connected — no page data
                 failed = out["resolve_failed"].astype(bool)
                 if failed.any():
@@ -1375,7 +1567,8 @@ class CrawlEngine:
     def _commit_chain_out(self, chain_out, it, remaining, fetch_log,
                           counts=None, counts_resolver=None,
                           iter_t0=None, finish_reason="Complete",
-                          touched_shards=None, defer=False):
+                          touched_shards=None, defer=False,
+                          deferred_jobs=None):
         """Commit an iteration. Every write is O(this iteration's work):
 
         - ``chain`` append: tasks/sched/lineage log rows (state rows are
@@ -1490,6 +1683,13 @@ class CrawlEngine:
                     F.col("action") == "touched_done"
                 ).select("job_id", "budget_used", "resp_counter",
                          "seq_counter")
+                if deferred_jobs:
+                    # a job with a straggler carried to the next iteration
+                    # still has a frontier — not Finished (politeness mode
+                    # needs nothing: its `tasks` union carries the row)
+                    finished = finished.filter(
+                        ~F.col("job_id").isin(deferred_jobs)
+                    )
             else:
                 touched = state_rows.filter(
                     F.col("action").isin("touched", "touched_done")
@@ -1679,6 +1879,15 @@ class CrawlEngine:
                 last.filter(F.col("row_kind") == "task"),
                 it - 1,
             )
+            # straggler carry-overs (live fetch deadline): their task rows
+            # live in OLDER chain appends — a fresh/resumed engine re-pends
+            # them from the manifest state (the in-memory path above
+            # already unioned them at step end)
+            def_rows = self.io.state.get("deferred_tasks") or []
+            if def_rows:
+                pending = pending.unionByName(
+                    self.spark.createDataFrame(def_rows, _pending_schema())
+                )
         # The fetch join's hash(url) exchange redistributes the frontier to
         # full parallelism regardless of scan partitioning, so an
         # unconditional repartition here would shuffle the whole frontier

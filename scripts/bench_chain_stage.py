@@ -49,12 +49,27 @@ ci = spark.read.parquet("%s/dump/chain_input_it%s" % (shm, it)).persist()
 js = spark.read.parquet("%s/dump/job_state_it%s" % (shm, it)).persist()
 print("ROWS ci=%d js=%d" % (ci.count(), js.count()), flush=True)
 cfg = CrawlConfig(fetch_log_detail=False, sched_log_detail=False)
+trivial = os.environ.get("CHAINBENCH_TRIVIAL")
+if trivial:
+    # no-op fold: isolates the cogroup exchange + Arrow crossing floor
+    # from the fold compute (the VERDICT r4 #2 target metric)
+    import pandas as pd
+    import crusty_core_spark.operators.chain_stage as CS
+
+    def _noop(cfg_, filters=(), drain=False):
+        def fn(key, left, right):
+            return pd.DataFrame(
+                {c: [] for c in CS.CHAIN_OUT_COLS})
+        return fn
+    CS_make = CS.make_chain_fn
+    CS.make_chain_fn = _noop
 for rep in range(4):
     t0 = time.time()
     n = run_chain_stage(ci, js, cfg).count()
     tag = "warm" if rep == 0 else "timed"
-    print("CHAIN %s n_exec=%s rep=%d out=%d wall=%.2f"
-          % (tag, n_exec, rep, n, time.time() - t0), flush=True)
+    print("CHAIN%s %s n_exec=%s rep=%d out=%d wall=%.2f"
+          % ("-TRIVIAL" if trivial else "", tag, n_exec, rep, n,
+             time.time() - t0), flush=True)
 spark.stop()
 """
 

@@ -77,6 +77,32 @@ def _slim_variant(rows):
     return out
 
 
+def _slimagg_variant(rows):
+    """What engine.step's JVM pre-aggregation produces (round 5): non-root
+    slim candidates collapse to ONE kind="slimagg" row per (job, parent,
+    action) — link_pos carries the count, text the comma-joined original
+    positions. Root slim rows (task_seq < 0) stay per-row, as in the
+    engine (is_slim excludes them)."""
+    out, agg = [], {}
+    for r in _slim_variant(rows):
+        if (r["kind"] == "cand" and r["pre_action"] is not None
+                and r["task_seq"] >= 0):
+            k = (r["job_id"], r["task_seq"], r["pre_action"])
+            agg.setdefault(k, []).append(r["link_pos"])
+        else:
+            out.append(r)
+    for (job, parent, act), poss in agg.items():
+        out.append(dict(
+            job_id=job, kind="slimagg", task_seq=parent,
+            link_pos=len(poss), url=None, host=None, rel=None, alt=None,
+            text=",".join(str(p) for p in poss), depth=0, redirect=0,
+            target=None, marker=0, seen_global=False, status=None,
+            content_type=None, content_encoding=None, body=None,
+            action=None, pre_action=act,
+        ))
+    return out
+
+
 def _run(rows, states, cfg):
     fn = make_chain_fn(cfg)
     left = pd.DataFrame(rows, columns=_IN_COLS)
@@ -108,11 +134,12 @@ def _states(out):
 def _ab(rows, states, cfg_kw):
     detail = _run(rows, states,
                   CrawlConfig(sched_log_detail=True, **cfg_kw))
-    counts = _run(_slim_variant(rows), states,
-                  CrawlConfig(sched_log_detail=False, **cfg_kw))
-    assert _counts(detail) == _counts(counts)
-    assert _tasks(detail) == _tasks(counts)
-    assert _states(detail) == _states(counts)
+    for variant in (_slim_variant, _slimagg_variant):
+        counts = _run(variant(rows), states,
+                      CrawlConfig(sched_log_detail=False, **cfg_kw))
+        assert _counts(detail) == _counts(counts), variant.__name__
+        assert _tasks(detail) == _tasks(counts), variant.__name__
+        assert _states(detail) == _states(counts), variant.__name__
     return _counts(detail)
 
 

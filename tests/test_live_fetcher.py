@@ -16,6 +16,7 @@ from crusty_core_spark.operators.fetcher import UrllibFetcher
 from crusty_core_spark.plans.engine import CrawlEngine
 
 MAX_SZ = 4096
+SLOW_S = 4.0  # /slow/* handler latency (straggler-tolerance test)
 
 
 BASE = "http://127.0.0.1"  # port 80, elided by the canonicalizer
@@ -40,6 +41,12 @@ def _site(port: int) -> dict[str, tuple[int, bytes, str, str | None]]:
         "/redir": (301, b"", "text/html", "/page/p2"),
         "/gone": (404, b"<html>gone</html>", "text/html", None),
         "/big": (200, b"x" * (MAX_SZ + 10), "text/html", None),
+        # straggler tree (only reachable from /slowroot — the other tests
+        # seed "/" and never pay the sleep): /slow/* URLs respond after
+        # SLOW_S seconds (the handler sleeps)
+        "/slowroot": (200, html("/page/p1", "/page/p2", "/slow/a"),
+                      "text/html", None),
+        "/slow/a": (200, html(), "text/html", None),
     }
 
 
@@ -49,6 +56,10 @@ def live_server():
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):
+            if self.path.startswith("/slow/"):
+                import time
+
+                time.sleep(SLOW_S)
             row = state["site"].get(self.path)
             if row is None:
                 self.send_response(404)
@@ -194,3 +205,50 @@ def test_urllib_fetcher_contract(live_server):
     # connection-refused url absent → engine records error:HttpError
     assert "http://127.0.0.1:9/refused" not in by_url
     assert out["content_type"].str.contains("text/").all()
+
+
+def test_fetch_deadline_straggler_carryover(spark, workdir, live_server):
+    """Straggler tolerance (VERDICT r4 #3): with fetch_deadline_ms set, a
+    slow host's URL does NOT bound its iteration's fetch wave — the wave
+    commits at the deadline, the straggler re-enters the pending frontier
+    (wait_iters keeps counting), and the NEXT iteration fetches it
+    deadline-exempt to a definite verdict. The drained crawl is
+    row-identical (modulo iter/wait timing) to the same corpus crawled as
+    a pages table."""
+    import time
+
+    port, site = live_server
+    cfg = _cfg(robots_txt=False, fetch_deadline_ms=800,
+               local_iter_threshold=0)
+    eng = CrawlEngine(spark, None, workdir + "/slow_live", cfg)
+    eng.seed([(0, f"{BASE}/slowroot")])
+    eng.step()  # it1: /slowroot alone (fast)
+    t0 = time.time()
+    eng.step()  # it2: p1, p2 and /slow/a — the straggler wave
+    it2_wall = time.time() - t0
+    # the deferred row is carried in the manifest state, url at index 2
+    carried = eng.io.state.get("deferred_tasks") or []
+    assert [r[2] for r in carried] == [f"{BASE}/slow/a"]
+    # the wave was NOT bounded by the 4 s straggler (deadline + overhead)
+    assert it2_wall < SLOW_S - 0.3, it2_wall
+    eng.run()  # drains: /slow/a fetched deadline-exempt next iteration
+    assert not (eng.io.state.get("deferred_tasks") or [])
+    log = eng.io.read("fetch_log")
+    slow = [r for r in log.collect() if r["url"] == f"{BASE}/slow/a"]
+    assert len(slow) == 1  # exactly one settled row — never logged as
+    assert slow[0]["action"] == "processed"  # deferred, never doubled
+    assert slow[0]["iter"] == 3 and slow[0]["wait_iters"] == 2
+    # parity on the drained set vs the same corpus as a pages table
+    eng_t = CrawlEngine(
+        spark, _pages_df(spark, port, site), workdir + "/slow_tbl",
+        _cfg(robots_txt=False, local_iter_threshold=0))
+    eng_t.seed([(0, f"{BASE}/slowroot")])
+    eng_t.run()
+    sel = lambda e: sorted(  # noqa: E731
+        tuple(r)
+        for r in e.io.read("fetch_log").select(*PARITY_COLS).collect()
+    )
+    assert sel(eng) == sel(eng_t)
+    assert sorted(r["url"] for r in eng.url_seen_df().collect()) == sorted(
+        r["url"] for r in eng_t.url_seen_df().collect()
+    )
