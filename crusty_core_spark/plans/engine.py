@@ -71,6 +71,63 @@ _PENDING_COLS = [
     "priority", "next_fetch_iter", "added_iter",
 ]
 
+def politeness_select(pending, it: int, cfg, pending_count: int):
+    """Politeness ready-selection: the top-``concurrency_per_host`` due
+    rows per (job, host) by (priority, task_seq) — the reference's
+    per-domain concurrency window (task_processor.rs:388-398) as an exact
+    window-rank. Returns (ready, remaining).
+
+    Hot-domain skew guard: at frontier scale one domain can hold millions
+    of due URLs, and a single window partition would pin that host's whole
+    rank on one task. Above ``hot_host_salt_threshold`` pending rows the
+    rank runs as an exact two-phase top-k instead: rank within (host,
+    salt) and keep per_host survivors per salt — any global top-per_host
+    row has < per_host rows above it, hence < per_host above it within its
+    own salt, so the survivor set is a superset — then re-rank the
+    <= per_host*n_salts survivors per host. Phase 1 bounds any task's
+    partition to ~|host|/n_salts; phase 2 ranks a constant-size set. Same
+    (priority, task_seq) total order, so selection is bit-identical
+    (pinned by tests/test_crawl_parity.test_parity_salted_politeness; task
+    balance at the 1M-links-one-host regime by scripts/bench_skew.py)."""
+    # clamp like the reference scheduler (simulator.py:149): a concurrency
+    # of 0 still dispatches one task per host per window, otherwise the
+    # engine would defer due tasks forever
+    per_host = max(1, cfg.concurrency_per_host)
+    due = pending.filter(F.col("next_fetch_iter") <= it)
+    not_due = pending.filter(F.col("next_fetch_iter") > it)
+    w = W.partitionBy("job_id", "host").orderBy("priority", "task_seq")
+    salt_thr = cfg.hot_host_salt_threshold
+    if salt_thr and pending_count > salt_thr:
+        n_salts = 16
+        ranked = due.withColumn(
+            "_salt", F.pmod(F.col("task_seq"), F.lit(n_salts))
+        ).withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("job_id", "host", "_salt")
+                .orderBy("priority", "task_seq")
+            ),
+        )
+        rejects1 = ranked.filter(F.col("_rn") > per_host).drop(
+            "_rn", "_salt"
+        )
+        survivors = ranked.filter(F.col("_rn") <= per_host).drop(
+            "_rn", "_salt"
+        )
+        ranked2 = survivors.withColumn("_rn", F.row_number().over(w))
+        ready = ranked2.filter(F.col("_rn") <= per_host).drop("_rn")
+        remaining = not_due.unionByName(rejects1).unionByName(
+            ranked2.filter(F.col("_rn") > per_host).drop("_rn")
+        )
+    else:
+        ranked = due.withColumn("_rn", F.row_number().over(w))
+        ready = ranked.filter(F.col("_rn") <= per_host).drop("_rn")
+        remaining = not_due.unionByName(
+            ranked.filter(F.col("_rn") > per_host).drop("_rn")
+        )
+    return ready, remaining
+
+
 _PENDING_DDL = (
     "job_id long, task_seq long, url string, host string, depth int, "
     "redirect int, target string, marker int, rel string, alt string, "
@@ -603,53 +660,9 @@ class CrawlEngine:
         #     window rank; skipped entirely when delay is 0 — with no delay
         #     every pending row is due by construction, so no extra scan)
         if cfg.delay_ms > 0:
-            # clamp like the reference scheduler (simulator.py:149): a
-            # concurrency of 0 still dispatches one task per host per window,
-            # otherwise the engine would defer due tasks forever
-            per_host = max(1, cfg.concurrency_per_host)
-            due = pending.filter(F.col("next_fetch_iter") <= it)
-            not_due = pending.filter(F.col("next_fetch_iter") > it)
-            w = W.partitionBy("job_id", "host").orderBy("priority", "task_seq")
-            salt_thr = cfg.hot_host_salt_threshold
-            if salt_thr and int(self.io.state.get("pending", 0)) > salt_thr:
-                # hot-domain skew guard: at frontier scale one domain can
-                # hold millions of due URLs, and a single window partition
-                # would pin that host's whole rank on one task. Exact
-                # two-phase top-k instead: rank within (host, salt) and keep
-                # per_host survivors per salt — any global top-per_host row
-                # has < per_host rows above it, hence < per_host above it
-                # within its own salt, so the survivor set is a superset —
-                # then re-rank the <= per_host*n_salts survivors per host.
-                # Phase 1 bounds any task's partition to ~|host|/n_salts;
-                # phase 2 ranks a constant-size set. Same (priority,
-                # task_seq) total order, so selection is bit-identical.
-                n_salts = 16
-                ranked = due.withColumn(
-                    "_salt", F.pmod(F.col("task_seq"), F.lit(n_salts))
-                ).withColumn(
-                    "_rn",
-                    F.row_number().over(
-                        W.partitionBy("job_id", "host", "_salt")
-                        .orderBy("priority", "task_seq")
-                    ),
-                )
-                rejects1 = ranked.filter(F.col("_rn") > per_host).drop(
-                    "_rn", "_salt"
-                )
-                survivors = ranked.filter(F.col("_rn") <= per_host).drop(
-                    "_rn", "_salt"
-                )
-                ranked2 = survivors.withColumn("_rn", F.row_number().over(w))
-                ready = ranked2.filter(F.col("_rn") <= per_host).drop("_rn")
-                remaining = not_due.unionByName(rejects1).unionByName(
-                    ranked2.filter(F.col("_rn") > per_host).drop("_rn")
-                )
-            else:
-                ranked = due.withColumn("_rn", F.row_number().over(w))
-                ready = ranked.filter(F.col("_rn") <= per_host).drop("_rn")
-                remaining = not_due.unionByName(
-                    ranked.filter(F.col("_rn") > per_host).drop("_rn")
-                )
+            ready, remaining = politeness_select(
+                pending, it, cfg, int(self.io.state.get("pending", 0))
+            )
         else:
             ready = pending
             remaining = None

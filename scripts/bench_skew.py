@@ -1,0 +1,291 @@
+"""Hot-key kill-test (VERDICT r4 #5): one host carrying ~1M due links.
+
+The corpora the scaling bench crawls top out at ~4k pages/host
+(sources/datagen.py), so the 100×-scale failure mode — ONE domain holding
+a millions-deep due set — never hits the politeness rank there. This
+script builds that frontier synthetically (1M rows on one host + 200
+cold hosts) and measures the ready-selection under it at both bench
+topologies (local-cluster[1,4] pinned to 4 vCPUs, local-cluster[4,4]
+pinned to 16):
+
+- salted two-phase top-k (the production path above
+  hot_host_salt_threshold, plans/engine.politeness_select) vs the plain
+  window rank (kill-switched via a 0 threshold), same inputs;
+- per-task runtimes from the Spark event log: the salted plan must keep
+  every task <= 2x the median of its stage (the plain rank pins the hot
+  host's whole 1M-row sort on ONE task — printed for contrast);
+- bit-identical selection between the two plans (the salt is a physical
+  rewrite, not a semantic one);
+- plus an end-to-end hot-host crawl (host 0 emits ~200k links in one
+  iteration through chain -> Bloom -> commit) timed at both topologies
+  with url_seen/crawl-order equality asserted.
+
+Usage: python scripts/bench_skew.py [hot_rows] [out_json]
+Writes BENCH_SKEW.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from bench_scaling import EXEC_CORES, EXEC_HEAP_MB, EXEC_MEM_MB  # noqa: E402
+
+SHM = "/dev/shm/crusty_skewbench"
+
+RUNNER = r"""
+import glob, json, os, sys, time
+sys.path.insert(0, "/root/repo")
+from crusty_core_spark.session import get_spark
+from crusty_core_spark.config import CrawlConfig
+from crusty_core_spark.plans.engine import politeness_select
+from pyspark.sql import functions as F
+
+n_exec, shm, hot_rows = sys.argv[1], sys.argv[2], int(sys.argv[3])
+exec_cores = int(os.environ["SCALE_EXEC_CORES"])
+cores = int(n_exec) * exec_cores
+evdir = f"{shm}/events{n_exec}"
+os.makedirs(evdir, exist_ok=True)
+spark = get_spark(
+    app_name="skew%sx%s" % (n_exec, exec_cores),
+    master="local-cluster[%s,%s,%s]" % (
+        n_exec, exec_cores, os.environ["SCALE_EXEC_MEM_MB"]),
+    shuffle_partitions=cores,
+    extra_conf={
+        "spark.local.dir": shm + "/spark_local%s" % n_exec,
+        "spark.executor.memory": "%sm" % os.environ["SCALE_EXEC_HEAP_MB"],
+        "spark.executorEnv.PYTHONPATH": "/root/repo",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.eventLog.enabled": "true",
+        "spark.eventLog.dir": "file://" + evdir,
+    },
+)
+
+# --- the pathological frontier: host 0 due-holds `hot_rows` rows, 200
+#     cold hosts 1k each (same layout the engine's pending table carries)
+hot = spark.range(hot_rows).select(
+    F.lit(0).alias("job_id"), F.col("id").alias("task_seq"),
+    F.concat(F.lit("http://hot.example/p"),
+             F.col("id").cast("string")).alias("url"),
+    F.lit("hot.example").alias("host"),
+    F.lit(1).alias("depth"), F.lit(0).alias("redirect"),
+    F.lit("Follow").alias("target"), F.lit(0).alias("marker"),
+    F.lit("").alias("rel"), F.lit("").alias("alt"), F.lit("").alias("text"),
+    F.lit(None).cast("string").alias("parent_url"),
+    F.lit(0).cast("long").alias("parent_seq"),
+    (F.col("id") % 1000).cast("int").alias("link_pos"),
+    F.lit(0).alias("priority"),
+    F.lit(1).cast("long").alias("next_fetch_iter"),
+    F.lit(0).cast("long").alias("added_iter"),
+)
+cold = spark.range(200 * 1000).select(
+    (F.col("id") % 200 + 1).alias("job_id"), F.col("id").alias("task_seq"),
+    F.concat(F.lit("http://c"), (F.col("id") % 200 + 1).cast("string"),
+             F.lit(".example/p"), F.col("id").cast("string")).alias("url"),
+    F.concat(F.lit("c"), (F.col("id") % 200 + 1).cast("string"),
+             F.lit(".example")).alias("host"),
+    F.lit(1).alias("depth"), F.lit(0).alias("redirect"),
+    F.lit("Follow").alias("target"), F.lit(0).alias("marker"),
+    F.lit("").alias("rel"), F.lit("").alias("alt"), F.lit("").alias("text"),
+    F.lit(None).cast("string").alias("parent_url"),
+    F.lit(0).cast("long").alias("parent_seq"),
+    (F.col("id") % 1000).cast("int").alias("link_pos"),
+    F.lit(0).alias("priority"),
+    F.lit(1).cast("long").alias("next_fetch_iter"),
+    F.lit(0).cast("long").alias("added_iter"),
+)
+pending = hot.unionByName(cold).repartition(cores).persist()
+n_pend = pending.count()
+
+cfg_salted = CrawlConfig(delay_ms=1000, concurrency_per_host=2,
+                         hot_host_salt_threshold=10_000)
+cfg_plain = CrawlConfig(delay_ms=1000, concurrency_per_host=2,
+                        hot_host_salt_threshold=None)
+
+
+def one(cfg, tag):
+    sc = spark.sparkContext
+    sc.setJobGroup(tag, tag)
+    t0 = time.time()
+    ready, remaining = politeness_select(pending, 1, cfg, n_pend)
+    rows = sorted((r.job_id, r.task_seq) for r in ready.collect())
+    n_rem = remaining.count()
+    wall = time.time() - t0
+    sc.setJobGroup("idle", "idle")
+    return rows, n_rem, wall
+
+
+# warm (codegen, exchange buffers)
+one(cfg_salted, "warm")
+salted_rows, salted_rem, salted_wall = one(cfg_salted, "salted")
+plain_rows, plain_rem, plain_wall = one(cfg_plain, "plain")
+assert salted_rows == plain_rows, "salted selection diverged from plain"
+assert salted_rem == plain_rem
+spark.stop()
+
+# --- event-log task-balance: per stage (>=8 tasks), max/median runtime.
+#     Stages are attributed salted/plain via the job-group property.
+stages = {}
+stage_group = {}
+for path in glob.glob(evdir + "/*"):
+    for line in open(path, errors="replace"):
+        if '"SparkListenerTaskEnd"' in line:
+            e = json.loads(line)
+            ti = e["Task Info"]
+            d = ti["Finish Time"] - ti["Launch Time"]
+            stages.setdefault(e["Stage ID"], []).append(d)
+        elif '"SparkListenerJobStart"' in line:
+            e = json.loads(line)
+            grp = (e.get("Properties") or {}).get("spark.jobGroup.id", "")
+            for sid in e.get("Stage IDs", []):
+                stage_group[sid] = grp
+
+
+def balance(tag):
+    worst = None
+    for sid, ds in stages.items():
+        if stage_group.get(sid) != tag or len(ds) < 8:
+            continue
+        med = statistics.median(ds)
+        ratio = max(ds) / max(med, 1.0)
+        if worst is None or ratio > worst["max_over_median"]:
+            worst = {"stage": sid, "tasks": len(ds),
+                     "max_ms": max(ds), "median_ms": med,
+                     "max_over_median": round(ratio, 2)}
+    return worst
+
+
+print("RESULT " + json.dumps({
+    "n_exec": int(n_exec), "pending_rows": n_pend,
+    "ready_rows": len(salted_rows),
+    "salted_wall_s": round(salted_wall, 2),
+    "plain_wall_s": round(plain_wall, 2),
+    "salted_worst_stage": balance("salted"),
+    "plain_worst_stage": balance("plain"),
+}), flush=True)
+"""
+
+CRAWL_RUNNER = r"""
+import json, os, sys, tempfile, time
+sys.path.insert(0, "/root/repo")
+from crusty_core_spark.session import get_spark
+from crusty_core_spark.config import CrawlConfig
+from crusty_core_spark.plans.engine import CrawlEngine
+from crusty_core_spark.sources.datagen import CorpusSpec, host_name
+
+n_exec, shm = sys.argv[1], sys.argv[2]
+exec_cores = int(os.environ["SCALE_EXEC_CORES"])
+cores = int(n_exec) * exec_cores
+spark = get_spark(
+    app_name="skewcrawl%s" % n_exec,
+    master="local-cluster[%s,%s,%s]" % (
+        n_exec, exec_cores, os.environ["SCALE_EXEC_MEM_MB"]),
+    shuffle_partitions=cores,
+    extra_conf={
+        "spark.local.dir": shm + "/spark_local_c%s" % n_exec,
+        "spark.executor.memory": "%sm" % os.environ["SCALE_EXEC_HEAP_MB"],
+        "spark.executorEnv.PYTHONPATH": "/root/repo",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    },
+)
+# host 0 carries 5000 pages x 40 links = ~200k links through ONE job's
+# chain fold, Bloom shard, and commit in a single iteration
+spec = CorpusSpec(n_hosts=48, base_pages_per_host=250, links_per_page=40,
+                  words_per_page=200, zipf_hot_host_factor=20, seed=7)
+pages = (spark.read.parquet(shm + "/pages")
+         .repartition(cores, "url").sortWithinPartitions("url").persist())
+pages.count()
+seeds = [(j, "http://%s/" % host_name(spec, j)) for j in range(48)]
+walls = []
+for rep in range(3):
+    wd = tempfile.mkdtemp(dir=shm, prefix="wd%s_" % n_exec)
+    eng = CrawlEngine(spark, pages, wd,
+                      CrawlConfig(fetch_log_detail=False,
+                                  sched_log_detail=False))
+    t0 = time.time()
+    eng.seed(seeds)
+    eng.run(max_iterations=4)
+    walls.append(round(time.time() - t0, 2))
+    n = eng.io.read("fetch_log").count()
+    seen = eng.url_seen_df().count()
+spark.stop()
+print("CRAWL " + json.dumps({
+    "n_exec": int(n_exec), "walls_s": walls, "urls": n, "url_seen": seen,
+}), flush=True)
+"""
+
+
+def main():
+    hot_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    out_json = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/BENCH_SKEW.json"
+    shutil.rmtree(SHM, ignore_errors=True)
+    os.makedirs(SHM, exist_ok=True)
+
+    env = {**os.environ,
+           "SCALE_EXEC_CORES": str(EXEC_CORES),
+           "SCALE_EXEC_MEM_MB": str(EXEC_MEM_MB),
+           "SCALE_EXEC_HEAP_MB": str(EXEC_HEAP_MB)}
+
+    # hot-host crawl corpus, generated once
+    from crusty_core_spark.session import get_spark
+    from crusty_core_spark.sources.datagen import CorpusSpec, gen_pages_spark
+
+    spec = CorpusSpec(n_hosts=48, base_pages_per_host=250, links_per_page=40,
+                      words_per_page=200, zipf_hot_host_factor=20, seed=7)
+    spark = get_spark(app_name="skew_gen", master="local[16]",
+                      shuffle_partitions=16)
+    gen_pages_spark(spark, spec).write.mode("overwrite").parquet(
+        SHM + "/pages")
+    spark.stop()
+
+    result = {"hot_rows": hot_rows, "select": {}, "crawl": {}}
+    for n_exec, cpus in ((1, "0-3"), (4, "0-15")):
+        out = subprocess.run(
+            ["taskset", "-c", cpus, sys.executable, "-c", RUNNER,
+             str(n_exec), SHM, str(hot_rows)],
+            capture_output=True, text=True, timeout=3600, env=env)
+        for ln in out.stdout.splitlines():
+            if ln.startswith("RESULT "):
+                result["select"][f"{n_exec}x{EXEC_CORES}"] = json.loads(
+                    ln[len("RESULT "):])
+                break
+        else:
+            print(out.stdout[-2000:])
+            print(out.stderr[-3000:])
+            raise SystemExit(f"select runner n_exec={n_exec} failed")
+        out = subprocess.run(
+            ["taskset", "-c", cpus, sys.executable, "-c", CRAWL_RUNNER,
+             str(n_exec), SHM],
+            capture_output=True, text=True, timeout=3600, env=env)
+        for ln in out.stdout.splitlines():
+            if ln.startswith("CRAWL "):
+                result["crawl"][f"{n_exec}x{EXEC_CORES}"] = json.loads(
+                    ln[len("CRAWL "):])
+                break
+        else:
+            print(out.stdout[-2000:])
+            print(out.stderr[-3000:])
+            raise SystemExit(f"crawl runner n_exec={n_exec} failed")
+
+    a = result["crawl"].get("1x4", {})
+    b = result["crawl"].get("4x4", {})
+    assert a.get("urls") == b.get("urls") and a.get("url_seen") == b.get(
+        "url_seen"), "hot-host crawl parity broke across topologies"
+    for k, sel in result["select"].items():
+        w = sel["salted_worst_stage"]
+        result["select"][k]["salted_balance_ok"] = bool(
+            w and w["max_over_median"] <= 2.0)
+    with open(out_json, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+    shutil.rmtree(SHM, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
