@@ -365,22 +365,72 @@ def seed_local(engine, seed_pairs: list[tuple[int, str]]) -> None:
             gc.enable()
 
 
+
+#: parsed-DDL cache: StructType.fromDDL is a py4j round trip (~0.2 s per
+#: call, 5+ calls per local seed/step) and every DDL here is a constant
+#: string. fromDDL results are plain python objects, valid across
+#: sessions. NEVER .add() on a cached instance (add mutates in place) —
+#: build a new StructType from its fields instead.
+_DDL_CACHE: dict = {}
+
+
+def _ddl(ddl_str):
+    st = _DDL_CACHE.get(ddl_str)
+    if st is None:
+        from pyspark.sql import types as T
+
+        st = T.StructType.fromDDL(ddl_str)
+        _DDL_CACHE[ddl_str] = st
+    return st
+
+
+def _canon_seed_worker(pairs):
+    """Fork-pool kernel: canonicalize + host/scheme for a slice of seed
+    pairs (the python twins of the Column exprs). Serial this is the
+    single biggest seed cost (~36 µs/url — 3.4 s of a 100k seed,
+    cProfile-measured), and it is embarrassingly parallel."""
+    import re
+
+    scheme_re = re.compile(r"^([a-z][a-z0-9+.-]*):")
+    out = []
+    for job_id, seed_url in pairs:
+        url = canonicalize_url(seed_url)
+        if url is None:
+            continue
+        m = scheme_re.match(url)
+        out.append((int(job_id), url, _url_host(url) or "",
+                    m.group(1) if m else ""))
+    return out
+
+
+def _shard_map_worker(args):
+    """Fork-pool kernel: host -> bloom shard id for a slice of hosts."""
+    hosts, n_shards = args
+    return {h: bloom_shard_id(h or "", n_shards) for h in hosts}
+
+
 def _seed_local_inner(engine, seed_pairs, cfg, io, re):
     from pyspark.sql import types as T
 
     from crusty_core_spark.plans import schemas as S
 
-    scheme_re = re.compile(r"^([a-z][a-z0-9+.-]*):")
+    n_workers_seed = cfg.resolved_local_workers()
+    # --- canonicalize + host/scheme (python twins of the Column exprs),
+    #     pooled above the same 2k threshold as the chain fold
+    if n_workers_seed > 1 and len(seed_pairs) >= 2000:
+        import numpy as np
 
-    # --- canonicalize + host/scheme (python twins of the Column exprs)
-    roots = []
-    for job_id, seed_url in seed_pairs:
-        url = canonicalize_url(seed_url)
-        if url is None:
-            continue
-        m = scheme_re.match(url)
-        roots.append((int(job_id), url, _url_host(url) or "",
-                      m.group(1) if m else ""))
+        splits = [
+            s for s in np.array_split(np.arange(len(seed_pairs)),
+                                      n_workers_seed) if len(s)
+        ]
+        parts = _get_pool(n_workers_seed).map(
+            _canon_seed_worker,
+            [[seed_pairs[i] for i in ix] for ix in splits],
+        )
+        roots = [r for p in parts for r in p]
+    else:
+        roots = _canon_seed_worker(seed_pairs)
 
     states = pd.DataFrame(
         {
@@ -464,7 +514,7 @@ def _seed_local_inner(engine, seed_pairs, cfg, io, re):
     def _schema(name, ddl):
         if io.exists(name) or io.snapshot_id(name) > 0:
             return io.schema(name)
-        return T.StructType.fromDDL(ddl)
+        return _ddl(ddl)
 
     # --- commits (same tables, same layout as the distributed seed)
     new_tasks = chain_out[chain_out["row_kind"] == "task"]
@@ -476,7 +526,9 @@ def _seed_local_inner(engine, seed_pairs, cfg, io, re):
     chain_schema = (
         io.schema("chain")
         if io.exists("chain") or io.snapshot_id("chain") > 0
-        else T.StructType.fromDDL(S.CHAIN_OUT).add("iter", T.LongType())
+        else T.StructType(
+            list(_ddl(S.CHAIN_OUT)) + [T.StructField("iter", T.LongType())]
+        )
     )
     io.append_pdf("chain", log_rows, chain_schema,
                   n_files=min(16, len(log_rows) // 25_000 + 1))
@@ -492,23 +544,42 @@ def _seed_local_inner(engine, seed_pairs, cfg, io, re):
     js_schema = (
         io.schema("job_state")
         if io.exists("job_state") or io.snapshot_id("job_state") > 0
-        else T.StructType.fromDDL(S.JOB_STATE).add("_bucket",
-                                                   T.IntegerType())
+        else T.StructType(
+            list(_ddl(S.JOB_STATE))
+            + [T.StructField("_bucket", T.IntegerType())]
+        )
     )
     io.overwrite_partitions_pdf("job_state", states_out, "_bucket", js_schema)
 
     hosts_list = new_tasks["host"].tolist()
-    shard_by_host = {
-        h: bloom_shard_id(h or "", cfg.n_bloom_shards)
-        for h in set(hosts_list)
-    }
+    uniq_hosts = list(set(hosts_list))
+    # host -> shard pooled above the chain-fold threshold (pure-python
+    # xxhash64 twin, ~14 µs/host serial — 1.4 s of a 100k-host seed)
+    if n_workers_seed > 1 and len(uniq_hosts) >= 2000:
+        import numpy as np
+
+        chunks = [
+            ([uniq_hosts[i] for i in ix], cfg.n_bloom_shards)
+            for ix in np.array_split(np.arange(len(uniq_hosts)),
+                                     n_workers_seed) if len(ix)
+        ]
+        shard_by_host = {}
+        for part in _get_pool(n_workers_seed).map(_shard_map_worker, chunks):
+            shard_by_host.update(part)
+    else:
+        shard_by_host = {
+            h: bloom_shard_id(h or "", cfg.n_bloom_shards)
+            for h in uniq_hosts
+        }
     seen_new = new_tasks[["job_id", "url"]].copy()
     seen_new["added_iter"] = 0
     seen_new["shard"] = [shard_by_host[h] for h in hosts_list]
     us_schema = (
         io.schema("url_seen")
         if io.exists("url_seen") or io.snapshot_id("url_seen") > 0
-        else T.StructType.fromDDL(S.URL_SEEN).add("shard", T.IntegerType())
+        else T.StructType(
+            list(_ddl(S.URL_SEEN)) + [T.StructField("shard", T.IntegerType())]
+        )
     )
     io.append_partitions_pdf("url_seen", seen_new, "shard", us_schema)
 
@@ -726,7 +797,7 @@ def _step_local_inner(engine, it: int) -> dict:
         # pandas promotes int columns to float when they ever met a NaN
         # (e.g. via concat with empty frames) — coerce back to the frontier
         # schema's exact types before the Spark conversion
-        frontier_schema = T.StructType.fromDDL(S.FRONTIER)
+        frontier_schema = _ddl(S.FRONTIER)
         ready_pd = ready[_FRONTIER_COLS].copy()
         for f in frontier_schema.fields:
             if isinstance(f.dataType, (T.LongType, T.IntegerType)):
@@ -771,7 +842,7 @@ def _step_local_inner(engine, it: int) -> dict:
     if engine.user_extract_schema:
         user_cols = [
             f.name
-            for f in T.StructType.fromDDL(engine.user_extract_schema).fields
+            for f in _ddl(engine.user_extract_schema).fields
         ]
     to_parse = [
         r for r in recs
@@ -1201,9 +1272,9 @@ def _step_local_inner(engine, it: int) -> dict:
     if io.exists("fetch_log") or io.snapshot_id("fetch_log") > 0:
         fl_schema = io.schema("fetch_log")
     else:
-        fl_schema = T.StructType.fromDDL(S.FETCH_LOG)
+        fl_schema = _ddl(S.FETCH_LOG)
         if engine.user_extract_schema and cfg.fetch_log_detail:
-            for f in T.StructType.fromDDL(engine.user_extract_schema).fields:
+            for f in _ddl(engine.user_extract_schema).fields:
                 fl_schema = fl_schema.add(f)
     io.append_pdf("fetch_log", fetch_log_pdf, fl_schema)
 
