@@ -245,15 +245,26 @@ def main():
     from crusty_core_spark.session import get_spark
     from crusty_core_spark.sources.datagen import CorpusSpec, gen_pages_spark
 
-    shutil.rmtree(SHM, ignore_errors=True)
-    os.makedirs(SHM, exist_ok=True)
+    # the corpus is deterministic (seed=42) — keep it across invocations
+    # (back-to-back weather-window attempts) and clean only the scratch
+    # dirs; the corpus tag guards against parameter changes
+    tag = os.path.join(SHM, f"pages_{n_hosts}_{ppg}.tag")
     pages_path = os.path.join(SHM, "pages")
+    if not os.path.exists(tag):
+        shutil.rmtree(SHM, ignore_errors=True)
+        os.makedirs(SHM, exist_ok=True)
+    for d in ("spark_local1", "spark_local4"):
+        shutil.rmtree(os.path.join(SHM, d), ignore_errors=True)
     spec = CorpusSpec(n_hosts=n_hosts, base_pages_per_host=ppg,
                       links_per_page=20, words_per_page=400,
                       zipf_hot_host_factor=20, seed=42)
     spark = get_spark(app_name="scale_gen", master="local[32]",
                       shuffle_partitions=32)
-    gen_pages_spark(spark, spec).write.mode("overwrite").parquet(pages_path)
+    if not os.path.exists(tag):
+        gen_pages_spark(spark, spec).write.mode("overwrite").parquet(
+            pages_path)
+        with open(tag, "w") as f:
+            f.write("ok")
     n_pages = spark.read.parquet(pages_path).count()
     spark.stop()
 
@@ -352,7 +363,9 @@ def main():
     with open(out_json, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
-    shutil.rmtree(SHM, ignore_errors=True)
+    # keep the deterministic corpus for the next invocation; drop scratch
+    for d in ("spark_local1", "spark_local4"):
+        shutil.rmtree(os.path.join(SHM, d), ignore_errors=True)
 
 
 if __name__ == "__main__":
