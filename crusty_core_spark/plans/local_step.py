@@ -1272,10 +1272,11 @@ def _step_local_inner(engine, it: int) -> dict:
     if io.exists("fetch_log") or io.snapshot_id("fetch_log") > 0:
         fl_schema = io.schema("fetch_log")
     else:
-        fl_schema = _ddl(S.FETCH_LOG)
+        # copy the cached fields — .add() would mutate the cached instance
+        fl_fields = list(_ddl(S.FETCH_LOG).fields)
         if engine.user_extract_schema and cfg.fetch_log_detail:
-            for f in _ddl(engine.user_extract_schema).fields:
-                fl_schema = fl_schema.add(f)
+            fl_fields += list(_ddl(engine.user_extract_schema).fields)
+        fl_schema = T.StructType(fl_fields)
     io.append_pdf("fetch_log", fetch_log_pdf, fl_schema)
 
     # --- metrics buffer + state + checkpoint (identical to the Spark path)
