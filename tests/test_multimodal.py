@@ -162,3 +162,23 @@ def test_default_decoder_dispatch(spark):
     assert (out[2].height, out[2].width, out[2].channels) == (7, 12, 3)
     assert (out[3].height, out[3].width) == (16, 16)  # fake fallback
     assert out[2].format == "gif"
+
+
+def test_gif_multi_frame_count_and_first_frame():
+    """A hand-assembled two-frame GIF (second image descriptor + LZW block
+    appended before the trailer): gif_frame_count sees both frames, the
+    decoder returns the FIRST frame's pixels."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    f1 = rng.integers(0, 256, (5, 7), dtype=np.uint8)
+    f2 = rng.integers(0, 256, (5, 7), dtype=np.uint8)
+    g1 = M.encode_gif(pal, f1)
+    g2 = M.encode_gif(pal, f2)
+    # splice: g1 without the 1-byte trailer (keep its sub-block
+    # terminator) + g2's image descriptor..trailer (g2's descriptor
+    # starts right after header+LSD+GCT = 13 + 768 bytes)
+    two = g1[:-1] + g2[13 + 768:]
+    assert M.gif_frame_count(two) == 2
+    assert np.array_equal(M._decode_gif(two), pal[f1])
