@@ -245,6 +245,15 @@ def merge_pairs_local(io: TableIO, cfg, pairs) -> None:
         arrow_schema,
         T.StructType.fromDDL(SHARD_SCHEMA),
     )
+    # keep the driver blob cache warm: the merged arrays ARE the just-
+    # written shards' contents, so the next _load_blobs (local dedup,
+    # broadcast probe) serves them without re-reading the files
+    cache = getattr(io, "_bloom_blob_cache", None) or {}
+    parts = io._parts(SHARDS_TABLE)
+    for sid, (bits, n) in merged.items():
+        bits.flags.writeable = False  # cache consumers copy before mutating
+        cache[str(sid)] = (parts[str(sid)][-1], bits, n)
+    io._bloom_blob_cache = cache
 
 
 def update(

@@ -372,7 +372,12 @@ class TableIO:
     def _read_file_pdf(self, path: str, columns=None):
         """One parquet file → pandas, via an immutable-file cache (data dirs
         are never rewritten in place — append/overwrite always create new
-        dirs — so a path's content is stable for the table's lifetime)."""
+        dirs — so a path's content is stable for the table's lifetime).
+
+        The driver-local writers seed this cache with the exact frame the
+        file would decode to (see _seed_pdf_cache), so a write-then-read
+        within one process never pays the parquet round trip; a column-
+        subset read is served by slicing the seeded full frame."""
         import pyarrow.parquet as pq
 
         key = (path, tuple(columns) if columns else None)
@@ -382,11 +387,42 @@ class TableIO:
         hit = cache.get(key)
         if hit is not None:
             return hit
+        full = cache.get((path, None)) if columns else None
+        if full is None:
+            seeded = getattr(self, "_local_tbl_cache", {}).pop(path, None)
+            if seeded is not None:
+                full = seeded.to_pandas()
+                if len(cache) > 8192:
+                    cache.clear()
+                cache[(path, None)] = full
+            elif columns:
+                pass
+            else:
+                full = pq.read_table(path).to_pandas()
+                if len(cache) > 8192:
+                    cache.clear()
+                cache[(path, None)] = full
+        if full is not None:
+            return full[list(columns)] if columns else full
         pdf = pq.read_table(path, columns=columns).to_pandas()
         if len(cache) > 8192:  # bound driver memory on very long crawls
             cache.clear()
         cache[key] = pdf
         return pdf
+
+    def _seed_pdf_cache(self, path: str, arrow_tbl) -> None:
+        """Record the Arrow table a just-written parquet file decodes to.
+        ``arrow_tbl`` is the exact Table written, so its ``to_pandas()``
+        equals what ``pq.read_table(path).to_pandas()`` would return (same
+        schema, same data) — a later in-process read skips the parquet
+        decode. Conversion is lazy (first read), so files never read back
+        (e.g. fetch_log in a pure-local crawl) cost nothing."""
+        cache = getattr(self, "_local_tbl_cache", None)
+        if cache is None:
+            cache = self._local_tbl_cache = {}
+        if len(cache) > 4096:
+            cache.clear()
+        cache[path] = arrow_tbl
 
     def _read_paths_local(self, paths: list[str], columns=None):
         """Concatenated pandas frame of the parquet files under ``paths``.
@@ -469,15 +505,17 @@ class TableIO:
         )
         k = max(1, min(int(n_files), max(1, tbl.num_rows)))
         if k == 1:
-            pq.write_table(tbl, os.path.join(path, "part-00000.parquet"))
+            fp = os.path.join(path, "part-00000.parquet")
+            pq.write_table(tbl, fp)
+            self._seed_pdf_cache(fp, tbl)
             return d
         step = -(-tbl.num_rows // k)
 
         def write_one(i):
-            pq.write_table(
-                tbl.slice(i * step, step),
-                os.path.join(path, f"part-{i:05d}.parquet"),
-            )
+            fp = os.path.join(path, f"part-{i:05d}.parquet")
+            sl = tbl.slice(i * step, step)
+            pq.write_table(sl, fp)
+            self._seed_pdf_cache(fp, sl)
 
         from concurrent.futures import ThreadPoolExecutor
 
@@ -539,7 +577,9 @@ class TableIO:
             v, slice_tbl = item
             sub = os.path.join(self.root, name, d, f"_pc={v}")
             os.makedirs(sub, exist_ok=True)
-            pq.write_table(slice_tbl, os.path.join(sub, "part-00000.parquet"))
+            fp = os.path.join(sub, "part-00000.parquet")
+            pq.write_table(slice_tbl, fp)
+            self._seed_pdf_cache(fp, slice_tbl)
             return str(v), f"{d}/_pc={v}"
 
         if len(groups) > 4:
