@@ -589,7 +589,7 @@ def _seed_local_inner(engine, seed_pairs, cfg, io, re):
         # pool from ~2k rows: the pure-python xxhash64 twin costs ~60 us/
         # url serial (12k new tasks = ~0.8 s of commit, cProfile-measured)
         # while the fork-pool dispatch for a list of short urls is ~10 ms
-        if n_workers > 1 and len(jobs_list) >= 2_000:
+        if n_workers > 1 and len(jobs_list) >= 512:
             import numpy as np
 
             splits = [
@@ -821,20 +821,106 @@ def _step_local_inner(engine, it: int) -> dict:
         if prof:
             marks.append((label, time.time()))
 
-    # --- classify (status filters + size cap + custom status/load filters)
-    recs = fetched.to_dict("records")
-    for r in recs:
-        for k in ("status", "content_type", "content_encoding", "location",
-                  "html", "rel", "alt", "text"):
-            r[k] = _none(r[k])
-        # a left-join null status arrives as NaN → keep ints exact
-        if r["status"] is not None:
-            r["status"] = int(r["status"])
-        if r["html"] is not None and not isinstance(r["html"], bytes):
-            r["html"] = bytes(r["html"])
-        r["action"], r["canon_location"] = _classify(
-            r, cfg, engine.custom_status_filters, engine.custom_load_filters
-        )
+    # --- classify (status filters + size cap + custom status/load filters),
+    #     VECTORIZED — the numpy mirror of the engine's bulk masks
+    #     (plans/engine.py step). Precedence is the same linear CASE chain;
+    #     expressed as reverse-order masked assignment (later assignment =
+    #     higher precedence), which is exactly the chain's first-match-wins.
+    import numpy as np
+
+    n_rows = len(fetched)
+    url_a = fetched["url"].to_numpy()
+    host_a = fetched["host"].to_numpy()
+    job_a = pd.to_numeric(fetched["job_id"]).astype("int64").to_numpy()
+    seq_a = pd.to_numeric(fetched["task_seq"]).astype("int64").to_numpy()
+    depth_a = pd.to_numeric(fetched["depth"]).astype("int64").to_numpy()
+    red_a = pd.to_numeric(fetched["redirect"]).astype("int64").to_numpy()
+    target_a = fetched["target"].to_numpy()
+    marker_a = pd.to_numeric(fetched["marker"]).astype("int64").to_numpy()
+    rf_a = fetched["resolve_failed"].to_numpy().astype(bool)
+    status_f = pd.to_numeric(fetched["status"], errors="coerce").to_numpy(
+        dtype="float64"
+    )
+    has_status = ~np.isnan(status_f)
+
+    def _str_or_none(v):
+        return v if isinstance(v, str) else None
+
+    def _as_bytes(h):
+        if isinstance(h, bytes):
+            return h
+        if isinstance(h, (bytearray, memoryview)):
+            return bytes(h)
+        return None
+
+    ct_list = [_str_or_none(v) for v in fetched["content_type"].tolist()]
+    ce_list = [_str_or_none(v) for v in fetched["content_encoding"].tolist()]
+    loc_list = [_str_or_none(v) for v in fetched["location"].tolist()]
+    html_list = [_as_bytes(h) for h in fetched["html"].tolist()]
+    blen = np.fromiter(
+        (len(h) if h is not None else -1 for h in html_list),
+        dtype="int64", count=n_rows,
+    )
+    is_redirect = has_status & (status_f >= 300) & (status_f <= 399)
+    ct_ok = np.fromiter(
+        (
+            c is not None and any(a in c for a in cfg.accepted_content_types)
+            for c in ct_list
+        ),
+        dtype=bool, count=n_rows,
+    )
+    canon_loc_list = [None] * n_rows
+    for i in np.flatnonzero(is_redirect):
+        canon_loc_list[i] = canonicalize_url(loc_list[i], base=url_a[i])
+    canon_none = np.fromiter(
+        (c is None for c in canon_loc_list), dtype=bool, count=n_rows
+    )
+
+    action = np.full(n_rows, "processed", dtype=object)
+    action[blen > cfg.max_response_size] = "error:HttpTooBigResponse"
+    action[target_a == "Head"] = "head"
+    action[~ct_ok] = "term:ContentType"
+    action[is_redirect] = "term:Redirect"
+    action[is_redirect & canon_none] = "error:BadLocation"
+    action[is_redirect & (red_a >= cfg.max_redirect)] = "term:MaxRedirect"
+    action[~has_status] = "error:HttpError"
+    action[target_a == "JustResolveDNS"] = "resolved"
+    action[rf_a] = "error:ResolveError"
+
+    # custom status/load filters: per-row over the affected subset only
+    # (same sequence as _classify — status filters first, then load
+    # filters against the post-status action)
+    if engine.custom_status_filters:
+        for i in np.flatnonzero(
+            np.isin(action, ("processed", "head", "error:HttpTooBigResponse"))
+        ):
+            for f in engine.custom_status_filters:
+                try:
+                    v = f(
+                        None if not has_status[i] else int(status_f[i]),
+                        ct_list[i], url_a[i], int(depth_a[i]),
+                    )
+                except Exception:
+                    continue
+                if isinstance(v, str) and v != "accept":
+                    action[i] = v
+                    break
+    if engine.custom_load_filters:
+        for i in np.flatnonzero(
+            (action == "processed") & (marker_a != 1)
+        ):
+            body = decode_body(html_list[i] or b"", ce_list[i])
+            for f in engine.custom_load_filters:
+                try:
+                    v = f(
+                        None if not has_status[i] else int(status_f[i]),
+                        ct_list[i], body, url_a[i], int(depth_a[i]),
+                    )
+                except Exception:
+                    continue
+                if isinstance(v, str) and v != "accept":
+                    action[i] = v
+                    break
     mark("classify")
 
     # --- parse + expand + canonicalize (the exact mapInPandas generator)
@@ -844,26 +930,23 @@ def _step_local_inner(engine, it: int) -> dict:
             f.name
             for f in _ddl(engine.user_extract_schema).fields
         ]
-    to_parse = [
-        r for r in recs
-        if r["action"] == "processed" and r["target"] in FOLLOW_TARGETS
-    ]
+    follow_mask = (action == "processed") & np.fromiter(
+        (t in FOLLOW_TARGETS for t in target_a), dtype=bool, count=n_rows
+    )
     if drain:
-        to_parse = []
+        follow_mask[:] = False
+    parse_idx = np.flatnonzero(follow_mask)
     n_workers = cfg.resolved_local_workers()
-    if to_parse:
+    if len(parse_idx):
         parse_pdf = pd.DataFrame(
-            [
-                {
-                    "job_id": r["job_id"],
-                    "task_seq": r["task_seq"],
-                    "url": r["url"],
-                    "depth": r["depth"],
-                    "html": r["html"],
-                    "content_encoding": r["content_encoding"],
-                }
-                for r in to_parse
-            ]
+            {
+                "job_id": job_a[parse_idx],
+                "task_seq": seq_a[parse_idx],
+                "url": url_a[parse_idx],
+                "depth": depth_a[parse_idx],
+                "html": [html_list[i] for i in parse_idx],
+                "content_encoding": [ce_list[i] for i in parse_idx],
+            }
         )
         ext_args = (engine.expanders, engine.user_extract, user_cols,
                     getattr(engine, "parser", None))
@@ -895,48 +978,50 @@ def _step_local_inner(engine, it: int) -> dict:
         )
     mark("extract")
 
-    # --- candidates: parsed links ∪ redirect re-emits (mirror of the
-    #     parsed_links / redirect_cands selects)
-    cand_rows: list[dict] = []
-    for r in parsed.itertuples(index=False):
-        for link in r.links_canon:
-            cand_rows.append(
-                {
-                    "job_id": int(r.job_id),
-                    "kind": "cand",
-                    "task_seq": int(r.task_seq),
-                    "link_pos": int(link["pos"]),
-                    "url": link["url"],
-                    "host": link["host"],
-                    "rel": link["rel"] or "",
-                    "alt": link["alt"] or "",
-                    "text": link["text"] or "",
-                    "depth": int(r.depth) + 1,
-                    "redirect": 0,
-                    "target": link["target"] or "Follow",
-                    "marker": 0,
-                }
-            )
+    # --- candidates: parsed links ∪ redirect re-emits, built COLUMNAR
+    #     (mirror of the parsed_links / redirect_cands selects — the old
+    #     per-link dict rows were the profiled hot spot of a fat iteration)
+    import itertools
+
+    if len(parsed):
+        link_lists = parsed["links_canon"].tolist()
+        lens = [len(x) for x in link_lists]
+        p_job = pd.to_numeric(parsed["job_id"]).astype("int64").to_numpy()
+        p_seq = pd.to_numeric(parsed["task_seq"]).astype("int64").to_numpy()
+        p_depth = pd.to_numeric(parsed["depth"]).astype("int64").to_numpy()
+        flat = list(itertools.chain.from_iterable(link_lists))
+        c_job = np.repeat(p_job, lens).tolist()
+        c_seq = np.repeat(p_seq, lens).tolist()
+        c_depth = np.repeat(p_depth + 1, lens).tolist()
+        c_pos = [int(link["pos"]) for link in flat]
+        c_url = [link["url"] for link in flat]
+        c_host = [link["host"] for link in flat]
+        c_rel = [(link["rel"] or "") for link in flat]
+        c_alt = [(link["alt"] or "") for link in flat]
+        c_text = [(link["text"] or "") for link in flat]
+        c_target = [(link["target"] or "Follow") for link in flat]
+        c_red = [0] * len(flat)
+        c_marker = [0] * len(flat)
+    else:
+        c_job, c_seq, c_depth, c_pos = [], [], [], []
+        c_url, c_host, c_rel, c_alt, c_text, c_target = [], [], [], [], [], []
+        c_red, c_marker = [], []
+    n_parsed_links = len(c_url)
     if not drain:
-        for r in recs:
-            if r["action"] == "term:Redirect":
-                cand_rows.append(
-                    {
-                        "job_id": int(r["job_id"]),
-                        "kind": "cand",
-                        "task_seq": int(r["task_seq"]),
-                        "link_pos": 0,
-                        "url": r["canon_location"],
-                        "host": _url_host(r["canon_location"]),
-                        "rel": "",
-                        "alt": "",
-                        "text": "",
-                        "depth": int(r["depth"]),
-                        "redirect": int(r["redirect"]) + 1,
-                        "target": r["target"],
-                        "marker": int(r["marker"]),
-                    }
-                )
+        for i in np.flatnonzero(action == "term:Redirect"):
+            c_job.append(int(job_a[i]))
+            c_seq.append(int(seq_a[i]))
+            c_pos.append(0)
+            c_url.append(canon_loc_list[i])
+            c_host.append(_url_host(canon_loc_list[i]))
+            c_rel.append("")
+            c_alt.append("")
+            c_text.append("")
+            c_depth.append(int(depth_a[i]))
+            c_red.append(int(red_a[i]) + 1)
+            c_target.append(target_a[i])
+            c_marker.append(int(marker_a[i]))
+    n_cands = len(c_url)
 
     # --- dedup flag: exact check against the url_seen partitions, pruned to
     #     the CANDIDATE HOSTS' shards (one xxhash64 per distinct host — the
@@ -946,11 +1031,12 @@ def _step_local_inner(engine, it: int) -> dict:
     #     filters). Scan volume stays O(touched-shard history), same as the
     #     distributed Bloom-positive prune.
     dedup_stats = {"dedup_shards_read": 0, "dedup_read_bytes": 0}
-    if cand_rows:
+    seen_flags = np.zeros(n_cands, dtype=bool)
+    if n_cands:
         if cfg.use_bloom:
             host_shards = {
                 h: bloom_shard_id(h or "", cfg.n_bloom_shards)
-                for h in {c["host"] for c in cand_rows}
+                for h in set(c_host)
             }
             pos_shards = sorted(set(host_shards.values()))
             sets: dict[int, set] = {}
@@ -958,11 +1044,13 @@ def _step_local_inner(engine, it: int) -> dict:
                 dedup_stats["dedup_shards_read"] = len(pos_shards)
                 sets = _seen_sets(io, pos_shards)
             empty: set = set()
-            for c in cand_rows:
-                c["seen_global"] = (
-                    (int(c["job_id"]), c["url"])
-                    in sets.get(host_shards[c["host"]], empty)
-                )
+            seen_flags = np.fromiter(
+                (
+                    (j, u) in sets.get(host_shards[h], empty)
+                    for j, u, h in zip(c_job, c_url, c_host)
+                ),
+                dtype=bool, count=n_cands,
+            )
         else:
             seen_pdf = (
                 io.read_partitions_local(
@@ -974,57 +1062,170 @@ def _step_local_inner(engine, it: int) -> dict:
             seen_set = set(
                 zip(seen_pdf["job_id"].tolist(), seen_pdf["url"].tolist())
             )
-            for c in cand_rows:
-                c["seen_global"] = (int(c["job_id"]), c["url"]) in seen_set
+            seen_flags = np.fromiter(
+                ((j, u) in seen_set for j, u in zip(c_job, c_url)),
+                dtype=bool, count=n_cands,
+            )
     engine._dedup_stats = dedup_stats
     mark("dedup")
 
-    # --- chain input (resp rows ∪ cand rows) and the exact bucket fold
-    chain_in_rows: list[dict] = []
-    for r in recs:
-        chain_in_rows.append(
-            {
-                "job_id": int(r["job_id"]),
-                "kind": "resp",
-                "task_seq": int(r["task_seq"]),
-                "link_pos": 0,
-                "url": r["url"],
-                "host": r["host"],
-                "rel": r["rel"],
-                "alt": r["alt"],
-                "text": r["text"],
-                "depth": int(r["depth"]),
-                "redirect": int(r["redirect"]),
-                "target": r["target"],
-                "marker": int(r["marker"]),
-                "seen_global": False,
-                "status": r["status"],
-                "content_type": r["content_type"],
-                "content_encoding": r["content_encoding"],
-                "body": (
-                    r["html"]
-                    if int(r["marker"]) == 1 and r["action"] == "processed"
-                    else None
+    # --- chain input (resp rows ∪ cand rows), columnar. Known-skip
+    #     candidates (scheme rejection / no-follow / committed-seen) get
+    #     their stateless verdict precomputed VECTORIZED and ride the fold
+    #     pre-aggregated — kind="slimagg", one row per (job, parent,
+    #     action), link_pos = count, text = comma-joined positions — the
+    #     exact shape engine.step builds JVM-side; the fold's pinned slim
+    #     accounting (operators/chain_stage.py, tests/test_chain_fold.py)
+    #     reconstructs batch positions and term cutoffs, so only the
+    #     full-fold minority pays per-row python chain_decide.
+    body_list = [
+        html_list[i]
+        if (marker_a[i] == 1 and action[i] == "processed") else None
+        for i in range(n_rows)
+    ]
+    resp_pdf = pd.DataFrame(
+        {
+            "job_id": job_a,
+            "kind": "resp",
+            "task_seq": seq_a,
+            "link_pos": np.zeros(n_rows, dtype="int64"),
+            "url": url_a,
+            "host": host_a,
+            "rel": fetched["rel"].to_numpy(),
+            "alt": fetched["alt"].to_numpy(),
+            "text": fetched["text"].to_numpy(),
+            "depth": depth_a,
+            "redirect": red_a,
+            "target": target_a,
+            "marker": marker_a,
+            "seen_global": np.zeros(n_rows, dtype=bool),
+            "status": [
+                None if not has_status[i] else int(status_f[i])
+                for i in range(n_rows)
+            ],
+            "content_type": ct_list,
+            "content_encoding": ce_list,
+            "body": body_list,
+            "action": action,
+            "pre_action": None,
+        },
+        columns=_CHAIN_IN_COLS,
+    )
+    frames = [resp_pdf]
+    if n_cands:
+        cj = np.asarray(c_job, dtype="int64")
+        cs = np.asarray(c_seq, dtype="int64")
+        cp = np.asarray(c_pos, dtype="int64")
+        cd = np.asarray(c_depth, dtype="int64")
+        cr = np.asarray(c_red, dtype="int64")
+        cm = np.asarray(c_marker, dtype="int64")
+        pre = np.full(n_cands, None, dtype=object)
+        if not cfg.sched_log_detail and not os.environ.get(
+            "SPARK_CRAWL_NO_SLIM"
+        ):
+            # exact twin of engine.step's pre_action CASE (rejected takes
+            # precedence; rel is already ""-coalesced here)
+            scheme_ok = np.fromiter(
+                (
+                    u is not None
+                    and (u.startswith("http:") or u.startswith("https:"))
+                    for u in c_url
                 ),
-                "action": r["action"],
-            }
+                dtype=bool, count=n_cands,
+            )
+            nofollow = np.fromiter(
+                (r.lower() == "no-follow" for r in c_rel),
+                dtype=bool, count=n_cands,
+            )
+            pre[~scheme_ok] = "rejected"
+            pre[scheme_ok & (nofollow | seen_flags)] = "skip"
+        slim_mask = (pre != None) & (cs >= 0)  # noqa: E711
+        fidx = np.flatnonzero(~slim_mask)
+
+        def _take(lst, idx):
+            return [lst[i] for i in idx]
+
+        if len(fidx):
+            frames.append(pd.DataFrame(
+                {
+                    "job_id": cj[fidx],
+                    "kind": "cand",
+                    "task_seq": cs[fidx],
+                    "link_pos": cp[fidx],
+                    "url": _take(c_url, fidx),
+                    "host": _take(c_host, fidx),
+                    "rel": _take(c_rel, fidx),
+                    "alt": _take(c_alt, fidx),
+                    "text": _take(c_text, fidx),
+                    "depth": cd[fidx],
+                    "redirect": cr[fidx],
+                    "target": _take(c_target, fidx),
+                    "marker": cm[fidx],
+                    "seen_global": seen_flags[fidx],
+                    "status": None,
+                    "content_type": None,
+                    "content_encoding": None,
+                    "body": None,
+                    "action": None,
+                    "pre_action": None,
+                },
+                columns=_CHAIN_IN_COLS,
+            ))
+        sidx = np.flatnonzero(slim_mask)
+        if len(sidx):
+            sl = pd.DataFrame(
+                {
+                    "job_id": cj[sidx],
+                    "task_seq": cs[sidx],
+                    "pre_action": pre[sidx],
+                    "link_pos": cp[sidx],
+                }
+            )
+            agg = (
+                sl.groupby(["job_id", "task_seq", "pre_action"], sort=False)
+                ["link_pos"]
+                .agg(
+                    n="size",
+                    txt=lambda s: ",".join(map(str, s.tolist())),
+                )
+                .reset_index()
+            )
+            frames.append(pd.DataFrame(
+                {
+                    "job_id": agg["job_id"].to_numpy(),
+                    "kind": "slimagg",
+                    "task_seq": agg["task_seq"].to_numpy(),
+                    "link_pos": agg["n"].astype("int64").to_numpy(),
+                    "url": None,
+                    "host": None,
+                    "rel": None,
+                    "alt": None,
+                    "text": agg["txt"].to_numpy(),
+                    "depth": 0,
+                    "redirect": 0,
+                    "target": None,
+                    "marker": 0,
+                    "seen_global": False,
+                    "status": None,
+                    "content_type": None,
+                    "content_encoding": None,
+                    "body": None,
+                    "action": None,
+                    "pre_action": agg["pre_action"].to_numpy(),
+                },
+                columns=_CHAIN_IN_COLS,
+            ))
+    # frames carry different null-column subsets; the fold handles either
+    # dtype inference (same rationale as chain_stage's concat), so silence
+    # the pandas FutureWarning instead of paying an object-dtype conversion
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", FutureWarning)
+        chain_in = (
+            pd.concat(frames, ignore_index=True)
+            if len(frames) > 1 else resp_pdf
         )
-    for c in cand_rows:
-        chain_in_rows.append(
-            {
-                **{k: c.get(k) for k in (
-                    "job_id", "kind", "task_seq", "link_pos", "url", "host",
-                    "rel", "alt", "text", "depth", "redirect", "target",
-                    "marker", "seen_global",
-                )},
-                "status": None,
-                "content_type": None,
-                "content_encoding": None,
-                "body": None,
-                "action": None,
-            }
-        )
-    chain_in = pd.DataFrame(chain_in_rows, columns=_CHAIN_IN_COLS)
     # Jobs are processed independently inside bucket_fn, so ANY partition of
     # the rows by job produces the identical per-job output (row order in
     # the appended log differs, which nothing depends on: every consumer
@@ -1063,80 +1264,89 @@ def _step_local_inner(engine, it: int) -> dict:
         chain_out = pd.DataFrame(columns=S.CHAIN_OUT_COLS)
     mark("chain")
 
-    # --- fetch_log rows (mirror of base_log + detail joins)
+    # --- fetch_log rows (columnar mirror of base_log + detail joins)
     from crusty_core_spark.functions import http_sim as HS
 
-    for r in recs:
-        r["bytes"] = len(r["html"]) if r["html"] is not None else None
-        r["wait_iters"] = int(it) - int(r["added_iter"])
+    status_out = [
+        None if not has_status[i] else int(status_f[i])
+        for i in range(n_rows)
+    ]
+    bytes_list = [len(h) if h is not None else None for h in html_list]
+    wait_a = int(it) - pd.to_numeric(
+        fetched["added_iter"]
+    ).astype("int64").to_numpy()
+    hdr_list: list = [None] * n_rows
+    rd_a = np.zeros(n_rows, dtype="int64")
+    wr_a = np.zeros(n_rows, dtype="int64")
+    for i in range(n_rows):
         # wire byte tap + header map (functions/http_sim.py) — identical
         # formulas to the engine's Column path and the simulator
-        r["headers"], r["read_size"], r["write_size"] = HS.io_metrics(
-            url=r["url"],
-            host=r["host"],
+        h, rd, wr = HS.io_metrics(
+            url=url_a[i],
+            host=host_a[i],
             user_agent=cfg.user_agent,
-            resolve_failed=bool(r["resolve_failed"]),
-            target=r["target"],
-            status=r["status"],
-            content_type=r["content_type"],
-            content_encoding=r["content_encoding"],
-            location=r["location"],
-            body_len=len(r["html"]) if r["html"] is not None else None,
+            resolve_failed=bool(rf_a[i]),
+            target=target_a[i],
+            status=status_out[i],
+            content_type=ct_list[i],
+            content_encoding=ce_list[i],
+            location=loc_list[i],
+            body_len=bytes_list[i],
             accepted_content_types=cfg.accepted_content_types,
             custom_headers=cfg.custom_headers,
         )
+        hdr_list[i] = h
+        rd_a[i] = rd
+        wr_a[i] = wr
+    fl_data = {
+        "iter": np.full(n_rows, int(it), dtype="int64"),
+        "job_id": job_a,
+        "task_seq": seq_a,
+        "url": url_a,
+        "depth": depth_a,
+        "redirect": red_a,
+        "target": target_a,
+        "marker": marker_a,
+        "status": status_out,
+        "action": action,
+        "n_links": np.zeros(n_rows, dtype="int64"),
+        "title": None,
+        "bytes": bytes_list,
+        "wait_iters": wait_a,
+        "headers": hdr_list,
+        "read_size": rd_a,
+        "write_size": wr_a,
+    }
     if cfg.fetch_log_detail:
         titles = {
             (int(p.job_id), int(p.task_seq)): p
             for p in parsed.itertuples(index=False)
         }
-        n_links: dict = {}
-        for c in cand_rows:
-            if c["redirect"] == 0:
-                k = (c["job_id"], c["task_seq"])
-                n_links[k] = n_links.get(k, 0) + 1
-        fetch_log_rows = []
-        for r in recs:
-            k = (int(r["job_id"]), int(r["task_seq"]))
-            p = titles.get(k)
-            row = {
-                "iter": it,
-                **{c: r[c] for c in (
-                    "job_id", "task_seq", "url", "depth", "redirect",
-                    "target", "marker", "status", "action",
-                )},
-                "n_links": n_links.get(k, 0),
-                "title": _none(getattr(p, "title", None)) if p else None,
-                "bytes": r["bytes"],
-                "wait_iters": r["wait_iters"],
-                "headers": r["headers"],
-                "read_size": r["read_size"],
-                "write_size": r["write_size"],
-            }
-            for uc in user_cols:
-                row[uc] = _none(getattr(p, uc, None)) if p else None
-            fetch_log_rows.append(row)
+        from collections import Counter
+
+        # parsed-link candidates only (redirect re-emits carry redirect>=1)
+        n_links_cnt = Counter(
+            zip(c_job[:n_parsed_links], c_seq[:n_parsed_links])
+        )
+        keys = list(zip(job_a.tolist(), seq_a.tolist()))
+        parsed_rows = [titles.get(k) for k in keys]
+        fl_data["n_links"] = np.fromiter(
+            (n_links_cnt.get(k, 0) for k in keys), dtype="int64",
+            count=n_rows,
+        )
+        fl_data["title"] = [
+            _none(getattr(p, "title", None)) if p is not None else None
+            for p in parsed_rows
+        ]
+        for uc in user_cols:
+            fl_data[uc] = [
+                _none(getattr(p, uc, None)) if p is not None else None
+                for p in parsed_rows
+            ]
     else:
         user_cols = []
-        fetch_log_rows = [
-            {
-                "iter": it,
-                **{c: r[c] for c in (
-                    "job_id", "task_seq", "url", "depth", "redirect",
-                    "target", "marker", "status", "action",
-                )},
-                "n_links": 0,
-                "title": None,
-                "bytes": r["bytes"],
-                "wait_iters": r["wait_iters"],
-                "headers": r["headers"],
-                "read_size": r["read_size"],
-                "write_size": r["write_size"],
-            }
-            for r in recs
-        ]
     fetch_log_pdf = pd.DataFrame(
-        fetch_log_rows,
+        fl_data,
         columns=["iter", "job_id", "task_seq", "url", "depth", "redirect",
                  "target", "marker", "status", "action", "n_links", "title",
                  "bytes", "wait_iters", "headers", "read_size", "write_size",
@@ -1144,9 +1354,10 @@ def _step_local_inner(engine, it: int) -> dict:
     )
 
     # --- counters (mirror of the one-collect aggregate)
-    counts: dict[str, int] = {}
-    for r in recs:
-        counts[r["action"]] = counts.get(r["action"], 0) + 1
+    counts: dict[str, int] = {
+        str(k): int(v)
+        for k, v in pd.Series(action).value_counts().items()
+    }
     if cfg.sched_log_detail:
         sched = chain_out[chain_out["row_kind"] == "sched"]
         sched_counts = sched.groupby("action").size().to_dict()
@@ -1206,7 +1417,7 @@ def _step_local_inner(engine, it: int) -> dict:
         # pool from ~2k rows: the pure-python xxhash64 twin costs ~60 us/
         # url serial (12k new tasks = ~0.8 s of commit, cProfile-measured)
         # while the fork-pool dispatch for a list of short urls is ~10 ms
-        if n_workers > 1 and len(jobs_list) >= 2_000:
+        if n_workers > 1 and len(jobs_list) >= 512:
             import numpy as np
 
             splits = [
@@ -1290,8 +1501,8 @@ def _step_local_inner(engine, it: int) -> dict:
         engine._sched_counts.get("accept", 0),
         engine._sched_counts.get("skip", 0),
         engine._sched_counts.get("term", 0),
-        sum(int(r["read_size"]) for r in recs),
-        sum(int(r["write_size"]) for r in recs),
+        int(rd_a.sum()),
+        int(wr_a.sum()),
         int((time.time() - t0) * 1000),
         dedup_stats.get("dedup_shards_read", 0),
         dedup_stats.get("dedup_read_bytes", 0),

@@ -269,10 +269,7 @@ class TableIO:
 
         items = list(rows_by_value.items())
         if len(items) > 4:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=16) as ex:
-                written = dict(ex.map(write_one, items))
+            written = dict(self._io_pool.map(write_one, items))
         else:
             written = dict(map(write_one, items))
         with self._lock:
@@ -369,68 +366,61 @@ class TableIO:
 
         return to_arrow_schema(spark_schema)
 
-    def _read_file_pdf(self, path: str, columns=None):
-        """One parquet file → pandas, via an immutable-file cache (data dirs
-        are never rewritten in place — append/overwrite always create new
-        dirs — so a path's content is stable for the table's lifetime).
+    @property
+    def _io_pool(self):
+        """Shared thread pool for driver-local parquet IO: creating a fresh
+        ThreadPoolExecutor per read/write spawned 500+ threads per crawl
+        (profiled ~1s of pure thread start/teardown)."""
+        pool = getattr(self, "_io_pool_obj", None)
+        if pool is None:
+            from concurrent.futures import ThreadPoolExecutor
 
-        The driver-local writers seed this cache with the exact frame the
-        file would decode to (see _seed_pdf_cache), so a write-then-read
-        within one process never pays the parquet round trip; a column-
-        subset read is served by slicing the seeded full frame."""
+            pool = self._io_pool_obj = ThreadPoolExecutor(max_workers=16)
+        return pool
+
+    def _read_file_tbl(self, path: str):
+        """One parquet file → Arrow table, via an immutable-file cache (data
+        dirs are never rewritten in place — append/overwrite always create
+        new dirs — so a path's content is stable for the table's lifetime).
+        The driver-local writers seed this cache with the exact table they
+        wrote (_seed_pdf_cache), so a write-then-read within one process
+        never pays the parquet decode."""
         import pyarrow.parquet as pq
 
-        key = (path, tuple(columns) if columns else None)
-        cache = getattr(self, "_local_pdf_cache", None)
+        cache = getattr(self, "_local_tbl_cache", None)
         if cache is None:
-            cache = self._local_pdf_cache = {}
-        hit = cache.get(key)
+            cache = self._local_tbl_cache = {}
+        hit = cache.get(path)
         if hit is not None:
             return hit
-        full = cache.get((path, None)) if columns else None
-        if full is None:
-            seeded = getattr(self, "_local_tbl_cache", {}).pop(path, None)
-            if seeded is not None:
-                full = seeded.to_pandas()
-                if len(cache) > 8192:
-                    cache.clear()
-                cache[(path, None)] = full
-            elif columns:
-                pass
-            else:
-                full = pq.read_table(path).to_pandas()
-                if len(cache) > 8192:
-                    cache.clear()
-                cache[(path, None)] = full
-        if full is not None:
-            return full[list(columns)] if columns else full
-        pdf = pq.read_table(path, columns=columns).to_pandas()
+        tbl = pq.read_table(path)
         if len(cache) > 8192:  # bound driver memory on very long crawls
             cache.clear()
-        cache[key] = pdf
-        return pdf
+        cache[path] = tbl
+        return tbl
 
     def _seed_pdf_cache(self, path: str, arrow_tbl) -> None:
         """Record the Arrow table a just-written parquet file decodes to.
         ``arrow_tbl`` is the exact Table written, so its ``to_pandas()``
         equals what ``pq.read_table(path).to_pandas()`` would return (same
         schema, same data) — a later in-process read skips the parquet
-        decode. Conversion is lazy (first read), so files never read back
-        (e.g. fetch_log in a pure-local crawl) cost nothing."""
+        decode entirely."""
         cache = getattr(self, "_local_tbl_cache", None)
         if cache is None:
             cache = self._local_tbl_cache = {}
-        if len(cache) > 4096:
+        if len(cache) > 8192:
             cache.clear()
         cache[path] = arrow_tbl
 
     def _read_paths_local(self, paths: list[str], columns=None):
         """Concatenated pandas frame of the parquet files under ``paths``.
 
-        Reads run on a thread pool in file order — tail iterations touch
-        100+ tiny partition files and pyarrow releases the GIL during the
-        read, so the serial loop's per-file latency was pure waiting."""
-        import pandas as pd
+        Reads run on the shared pool in file order (pyarrow releases the
+        GIL), and concatenation happens at the ARROW level — one
+        ``to_pandas`` over the combined table instead of a pandas concat of
+        100+ tiny frames (whose per-element NA-validation dominated tail
+        iterations)."""
+        import pyarrow as pa
 
         files = []
         for d in paths:
@@ -442,17 +432,22 @@ class TableIO:
         if not files:
             return None
         if len(files) > 4:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=16) as ex:
-                frames = list(ex.map(
-                    lambda p: self._read_file_pdf(p, columns), files
-                ))
+            tbls = list(self._io_pool.map(self._read_file_tbl, files))
         else:
-            frames = [self._read_file_pdf(p, columns) for p in files]
-        # always concat (even for one frame): callers may mutate the result,
-        # and _read_file_pdf's cache hands out shared objects
-        return pd.concat(frames, ignore_index=True)
+            tbls = [self._read_file_tbl(p) for p in files]
+        if columns:
+            tbls = [t.select(list(columns)) for t in tbls]
+        if len(tbls) == 1:
+            return tbls[0].to_pandas()
+        try:
+            return pa.concat_tables(tbls).to_pandas()
+        except (pa.ArrowInvalid, pa.ArrowTypeError, ValueError):
+            # mixed writers (Spark vs pyarrow) can disagree on field
+            # nullability/metadata — normalize to the first schema
+            schema = tbls[0].schema
+            return pa.concat_tables(
+                [t if t.schema == schema else t.cast(schema) for t in tbls]
+            ).to_pandas()
 
     def _empty_pdf(self, name: str, columns=None):
         import pandas as pd
@@ -517,10 +512,7 @@ class TableIO:
             pq.write_table(sl, fp)
             self._seed_pdf_cache(fp, sl)
 
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=min(k, 16)) as ex:
-            list(ex.map(write_one, range(k)))
+        list(self._io_pool.map(write_one, range(k)))
         return d
 
     def append_pdf(self, name: str, pdf, spark_schema: T.StructType,
@@ -543,8 +535,6 @@ class TableIO:
         """Write one parquet file per touched partition value (threaded —
         pyarrow releases the GIL on IO, and tail iterations touch many tiny
         partitions)."""
-        from concurrent.futures import ThreadPoolExecutor
-
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -583,8 +573,7 @@ class TableIO:
             return str(v), f"{d}/_pc={v}"
 
         if len(groups) > 4:
-            with ThreadPoolExecutor(max_workers=16) as ex:
-                written = dict(ex.map(write_one, groups))
+            written = dict(self._io_pool.map(write_one, groups))
         else:
             written = dict(map(write_one, groups))
         return written
