@@ -112,38 +112,58 @@ def lsh_band_keys_sql(signature: str, bands: int, rows_per_band: int) -> str:
     return f"[{keys}]"
 
 
-def lsh_candidate_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    k: int = 2,
-    num_hashes: int = 8,
-    bands: int = 4,
+def shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, k: int = 2
 ) -> DataFrame:
-    """MinHash-LSH near-dup candidates: (id_a < id_b) sharing ≥1 band key.
+    """(doc, _sh) — per-doc distinct shingle arrays behind an exchange
+    boundary. The repartition matters twice: it stops CollapseProject from
+    re-inlining the shingle subtree into every downstream consumer (a
+    Catalyst expression-tree blowup, measured 80x slower), and it spreads
+    the minhash/intersection work across the session's cores even when the
+    input is a single unsplittable parquet row group (the sandbox layout —
+    one scan task otherwise owns all expression work)."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(F.col(text_col), k).alias("_sh"),
+    ).repartition(F.col("doc"))
 
-    Plan shape: projection (signature) → explode (bands) → shuffle on
-    band_key → in-bucket self-join → distinct. No cross join anywhere.
-    """
+
+def _lsh_pairs_from_shingles(
+    sh_df: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """Banded candidate pairs from a (doc, _sh) frame; persists the tiny
+    doc→signature relation so the banded self-join computes signatures
+    exactly once (~50 bytes/doc — MEMORY_AND_DISK is safe at corpus
+    scale).
+
+    The signature is computed by EXPLODING the shingles and taking 8
+    ``min(md5(j || ':' || s))`` aggregates, not by the higher-order
+    ``array_min(transform(...))`` form: lambda functions evaluate
+    interpreted (no whole-stage codegen), and the 8-hash transform over
+    every shingle was the measured dominant cost of the LSH stage; the
+    exploded aggregate runs the same md5s codegen-compiled (~4x the whole
+    stage). Identical results: min() and array_min() share Spark's binary
+    string ordering, explode_outer keeps empty shingle arrays as a null
+    row whose md5(null)=null mins reproduce the all-null signature, and
+    the groupBy rides the existing doc-hash partitioning (no extra
+    exchange)."""
     rows_per_band = num_hashes // bands
-    # Materialize the signature: without boundaries, CollapseProject
-    # re-inlines the full shingle/minhash subtree into every element_at of
-    # every band key AND both self-join sides — a Catalyst expression-tree
-    # blowup (measured 80x slower). Stage 1 computes the shingle array once
-    # (the repartition is an exchange boundary, so the 8 minhash lambdas
-    # reference the stored `_sh` attribute instead of 8 inlined copies);
-    # stage 2 persists doc->signature so the banded self-join computes the
-    # signatures exactly once. At corpus scale the persisted relation is
-    # ~50 bytes/doc (id + 8 md5 hex) — MEMORY_AND_DISK is safe.
+    ex = sh_df.select("doc", F.explode_outer("_sh").alias("_s"))
     sig_df = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            word_shingles(F.col(text_col), k).alias("_sh"),
+        ex.groupBy("doc")
+        .agg(
+            *[
+                F.min(
+                    F.md5(F.concat(F.lit(f"{j}:"), F.col("_s")))
+                ).alias(f"_m{j}")
+                for j in range(num_hashes)
+            ]
         )
-        .repartition(F.col("doc"))
         .select(
             "doc",
-            minhash_signature(F.col("_sh"), num_hashes).alias("sig"),
+            F.array(*[F.col(f"_m{j}") for j in range(num_hashes)]).alias(
+                "sig"
+            ),
         )
         .persist()
     )
@@ -163,7 +183,51 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 2,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates: (id_a < id_b) sharing ≥1 band key.
+
+    Plan shape: projection (shingles) → exchange → projection (signature,
+    persisted) → explode (bands) → shuffle on band_key → in-bucket
+    self-join → distinct. No cross join anywhere.
+    """
+    return _lsh_pairs_from_shingles(
+        shingle_frame(df, id_col, text_col, k), num_hashes, bands
+    )
+
+
 # ---------------------------------------------------------------- simhash
+
+def token_md5s(col: Column) -> Column:
+    """md5 per whitespace token — the shared input of the 16 simhash bit
+    votes. Stage this behind an exchange boundary so each token is hashed
+    ONCE instead of once per bit position (16x less md5 work), and the
+    votes run on all cores instead of inside a single scan task."""
+    return F.transform(tokens(col), lambda t: F.md5(t))
+
+
+def simhash16_from_hashes(h: Column) -> Column:
+    """simhash16 over a precomputed md5(token) array (see token_md5s);
+    bit-identical to simhash16: substring(md5(t), p, 1) == substring(h, p, 1)."""
+    bits = []
+    for p in range(1, 17):
+        vote = F.aggregate(
+            h,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(
+                F.substring(t, p, 1).isin(*"89abcdef"), F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+        bits.append(F.when(vote > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
 
 def simhash16(col: Column) -> Column:
     """16-bit SimHash as a bitstring: for hex position p of md5(token),
@@ -254,47 +318,39 @@ def jaccard_pairs_lsh(
 
     The scale-correct composition: LSH banding bounds the pair space to
     near-duplicate candidates (sub-quadratic — no metadata-column blocking),
-    then the exact Jaccard verifies each candidate. Plan shape:
-    candidates (banded self-join) → join shingles of side a → join shingles
-    of side b on (doc, shingle) → per-pair intersection count → filter.
-    """
-    cands = lsh_candidate_pairs(df, id_col, text_col, k, num_hashes, bands)
-    cands.persist()  # ~16 bytes/pair; read by the shingle-joins' plan
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    then the exact Jaccard verifies each candidate via a per-pair
+    ``array_intersect`` over the docs' distinct-shingle arrays.
+
+    One (doc, _sh) relation is computed once and persisted, feeding BOTH the
+    signature/banding stage and the pair verification — the old shape
+    recomputed the shingles three times and verified pairs through an
+    exploded (doc, shingle) self-join, which shuffled every pair × every
+    shingle (candidate_pairs × ~shingles_per_doc rows through two exchanges,
+    the dominant cost of the query at every scale). Now the shingle array
+    crosses one hash join per pair side and the intersection is a local
+    O(|A|+|B|) hash probe per pair; shuffle volume is O(pairs), not
+    O(pairs × shingles)."""
+    sh_df = shingle_frame(df, id_col, text_col, k).persist()
+    cands = _lsh_pairs_from_shingles(sh_df, num_hashes, bands)
+    a = sh_df.select(
+        F.col("doc").alias("doc_a"),
+        F.col("_sh").alias("_sh_a"),
+        F.size("_sh").alias("n_a"),
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    # intersection counts over the exploded shingles; the per-doc shingle
-    # counts are joined AFTERWARDS onto the (tiny) per-pair aggregate —
-    # carrying n_sh through the exploded join measured ~30x slower
+    b = sh_df.select(
+        F.col("doc").alias("doc_b"),
+        F.col("_sh").alias("_sh_b"),
+        F.size("_sh").alias("n_b"),
+    )
     inter = (
-        cands.join(a, F.col("doc_a") == F.col("a.doc"))
-        .join(
-            b,
-            (F.col("doc_b") == F.col("b.doc"))
-            & (F.col("a.shingle") == F.col("b.shingle")),
+        cands.join(a, on="doc_a")
+        .join(b, on="doc_b")
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("_sh_a", "_sh_b"))
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    counts = df.select(
-        F.col(id_col).alias("doc"),
-        F.size(word_shingles(F.col(text_col), k)).alias("n_sh"),
-    )
-    ca = counts.alias("ca")
-    cb = counts.alias("cb")
-    inter = (
-        inter.join(ca, F.col("doc_a") == F.col("ca.doc"))
-        .join(cb, F.col("doc_b") == F.col("cb.doc"))
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_inter",
-            F.col("ca.n_sh").alias("n_a"),
-            F.col("cb.n_sh").alias("n_b"),
-        )
+        # pairs with an empty intersection never surfaced from the old
+        # exploded inner join — preserve that pair-set for any threshold
+        .filter(F.col("n_inter") > 0)
     )
     jac = F.round(
         F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6

@@ -67,11 +67,11 @@ def lang_score(col: Column, lang: str) -> Column:
     return s
 
 
-def lang_id(col: Column) -> Column:
-    """argmax over lang_score; ties broken by language code order; all-zero →
-    'und'. Expressed as a deterministic CASE cascade (portable)."""
-    scores = {lang: lang_score(col, lang) for lang in sorted(LANG_MARKERS)}
-    best = None
+def lang_id_from_scores(scores: dict[str, Column]) -> Column:
+    """argmax CASE cascade over precomputed per-language score columns.
+    Staging the scores behind an exchange boundary computes each score ONCE
+    (the inlined cascade re-evaluates every score up to ~5x) and shrinks
+    the Catalyst expression tree accordingly."""
     expr = None
     for lang in sorted(LANG_MARKERS):
         cond = F.lit(True)
@@ -81,9 +81,20 @@ def lang_id(col: Column) -> Column:
             elif other > lang:
                 cond = cond & (scores[lang] >= scores[other])
         cond = cond & (scores[lang] > 0)
-        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
-        best = lang
+        expr = (
+            F.when(cond, F.lit(lang))
+            if expr is None
+            else expr.when(cond, F.lit(lang))
+        )
     return expr.otherwise(F.lit("und"))
+
+
+def lang_id(col: Column) -> Column:
+    """argmax over lang_score; ties broken by language code order; all-zero →
+    'und'. Expressed as a deterministic CASE cascade (portable)."""
+    return lang_id_from_scores(
+        {lang: lang_score(col, lang) for lang in sorted(LANG_MARKERS)}
+    )
 
 
 def lang_id_sql(col: str = "text") -> str:

