@@ -1083,35 +1083,14 @@ def _step_local_inner(engine, it: int) -> dict:
         if (marker_a[i] == 1 and action[i] == "processed") else None
         for i in range(n_rows)
     ]
-    resp_pdf = pd.DataFrame(
-        {
-            "job_id": job_a,
-            "kind": "resp",
-            "task_seq": seq_a,
-            "link_pos": np.zeros(n_rows, dtype="int64"),
-            "url": url_a,
-            "host": host_a,
-            "rel": fetched["rel"].to_numpy(),
-            "alt": fetched["alt"].to_numpy(),
-            "text": fetched["text"].to_numpy(),
-            "depth": depth_a,
-            "redirect": red_a,
-            "target": target_a,
-            "marker": marker_a,
-            "seen_global": np.zeros(n_rows, dtype=bool),
-            "status": [
-                None if not has_status[i] else int(status_f[i])
-                for i in range(n_rows)
-            ],
-            "content_type": ct_list,
-            "content_encoding": ce_list,
-            "body": body_list,
-            "action": action,
-            "pre_action": None,
-        },
-        columns=_CHAIN_IN_COLS,
-    )
-    frames = [resp_pdf]
+    status_list = [
+        None if not has_status[i] else int(status_f[i])
+        for i in range(n_rows)
+    ]
+    # slim verdicts + slimagg aggregation over the candidate arrays
+    nf = ns = 0
+    ns_txt: list = []
+    ns_pre: list = []
     if n_cands:
         cj = np.asarray(c_job, dtype="int64")
         cs = np.asarray(c_seq, dtype="int64")
@@ -1141,37 +1120,9 @@ def _step_local_inner(engine, it: int) -> dict:
             pre[scheme_ok & (nofollow | seen_flags)] = "skip"
         slim_mask = (pre != None) & (cs >= 0)  # noqa: E711
         fidx = np.flatnonzero(~slim_mask)
-
-        def _take(lst, idx):
-            return [lst[i] for i in idx]
-
-        if len(fidx):
-            frames.append(pd.DataFrame(
-                {
-                    "job_id": cj[fidx],
-                    "kind": "cand",
-                    "task_seq": cs[fidx],
-                    "link_pos": cp[fidx],
-                    "url": _take(c_url, fidx),
-                    "host": _take(c_host, fidx),
-                    "rel": _take(c_rel, fidx),
-                    "alt": _take(c_alt, fidx),
-                    "text": _take(c_text, fidx),
-                    "depth": cd[fidx],
-                    "redirect": cr[fidx],
-                    "target": _take(c_target, fidx),
-                    "marker": cm[fidx],
-                    "seen_global": seen_flags[fidx],
-                    "status": None,
-                    "content_type": None,
-                    "content_encoding": None,
-                    "body": None,
-                    "action": None,
-                    "pre_action": None,
-                },
-                columns=_CHAIN_IN_COLS,
-            ))
         sidx = np.flatnonzero(slim_mask)
+        nf = len(fidx)
+        ns_job = ns_ts = ns_n = None
         if len(sidx):
             sl = pd.DataFrame(
                 {
@@ -1190,42 +1141,74 @@ def _step_local_inner(engine, it: int) -> dict:
                 )
                 .reset_index()
             )
-            frames.append(pd.DataFrame(
-                {
-                    "job_id": agg["job_id"].to_numpy(),
-                    "kind": "slimagg",
-                    "task_seq": agg["task_seq"].to_numpy(),
-                    "link_pos": agg["n"].astype("int64").to_numpy(),
-                    "url": None,
-                    "host": None,
-                    "rel": None,
-                    "alt": None,
-                    "text": agg["txt"].to_numpy(),
-                    "depth": 0,
-                    "redirect": 0,
-                    "target": None,
-                    "marker": 0,
-                    "seen_global": False,
-                    "status": None,
-                    "content_type": None,
-                    "content_encoding": None,
-                    "body": None,
-                    "action": None,
-                    "pre_action": agg["pre_action"].to_numpy(),
-                },
-                columns=_CHAIN_IN_COLS,
-            ))
-    # frames carry different null-column subsets; the fold handles either
-    # dtype inference (same rationale as chain_stage's concat), so silence
-    # the pandas FutureWarning instead of paying an object-dtype conversion
-    import warnings
+            ns = len(agg)
+            ns_job = agg["job_id"].to_numpy()
+            ns_ts = agg["task_seq"].to_numpy()
+            ns_n = agg["n"].astype("int64").to_numpy()
+            ns_txt = agg["txt"].tolist()
+            ns_pre = agg["pre_action"].tolist()
 
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore", FutureWarning)
-        chain_in = (
-            pd.concat(frames, ignore_index=True)
-            if len(frames) > 1 else resp_pdf
-        )
+    def _take(lst, idx):
+        return [lst[i] for i in idx]
+
+    # one direct columnar assembly (no pandas concat: its all-NA join-unit
+    # validation walked every element of the null columns — profiled ~1.3 s
+    # on a fat iteration)
+    def _icol(*parts):
+        return np.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    zi = np.zeros(0, dtype="int64")
+    zb = np.zeros(0, dtype=bool)
+    if n_cands:
+        i_job = _icol(job_a, cj[fidx], ns_job if ns else zi)
+        i_seq = _icol(seq_a, cs[fidx], ns_ts if ns else zi)
+        i_pos = _icol(np.zeros(n_rows, dtype="int64"), cp[fidx],
+                      ns_n if ns else zi)
+        i_depth = _icol(depth_a, cd[fidx], zi if not ns else
+                        np.zeros(ns, dtype="int64"))
+        i_red = _icol(red_a, cr[fidx], zi if not ns else
+                      np.zeros(ns, dtype="int64"))
+        i_marker = _icol(marker_a, cm[fidx], zi if not ns else
+                         np.zeros(ns, dtype="int64"))
+        i_seen = _icol(np.zeros(n_rows, dtype=bool), seen_flags[fidx],
+                       zb if not ns else np.zeros(ns, dtype=bool))
+    else:
+        i_job, i_seq = job_a, seq_a
+        i_pos = np.zeros(n_rows, dtype="int64")
+        i_depth, i_red, i_marker = depth_a, red_a, marker_a
+        i_seen = np.zeros(n_rows, dtype=bool)
+    none_fs = [None] * (nf + ns)
+    chain_in = pd.DataFrame(
+        {
+            "job_id": i_job,
+            "kind": ["resp"] * n_rows + ["cand"] * nf + ["slimagg"] * ns,
+            "task_seq": i_seq,
+            "link_pos": i_pos,
+            "url": url_a.tolist() + (_take(c_url, fidx) if nf else [])
+            + [None] * ns,
+            "host": host_a.tolist() + (_take(c_host, fidx) if nf else [])
+            + [None] * ns,
+            "rel": fetched["rel"].tolist()
+            + (_take(c_rel, fidx) if nf else []) + [None] * ns,
+            "alt": fetched["alt"].tolist()
+            + (_take(c_alt, fidx) if nf else []) + [None] * ns,
+            "text": fetched["text"].tolist()
+            + (_take(c_text, fidx) if nf else []) + ns_txt,
+            "depth": i_depth,
+            "redirect": i_red,
+            "target": target_a.tolist()
+            + (_take(c_target, fidx) if nf else []) + [None] * ns,
+            "marker": i_marker,
+            "seen_global": i_seen,
+            "status": status_list + none_fs,
+            "content_type": ct_list + none_fs,
+            "content_encoding": ce_list + none_fs,
+            "body": body_list + none_fs,
+            "action": action.tolist() + none_fs,
+            "pre_action": [None] * (n_rows + nf) + ns_pre,
+        },
+        columns=_CHAIN_IN_COLS,
+    )
     # Jobs are processed independently inside bucket_fn, so ANY partition of
     # the rows by job produces the identical per-job output (row order in
     # the appended log differs, which nothing depends on: every consumer
