@@ -115,17 +115,21 @@ def lsh_band_keys_sql(signature: str, bands: int, rows_per_band: int) -> str:
 def shingle_frame(
     df: DataFrame, id_col: str, text_col: str, k: int = 2
 ) -> DataFrame:
-    """(doc, _sh) — per-doc distinct shingle arrays behind an exchange
-    boundary. The repartition matters twice: it stops CollapseProject from
-    re-inlining the shingle subtree into every downstream consumer (a
-    Catalyst expression-tree blowup, measured 80x slower), and it spreads
-    the minhash/intersection work across the session's cores even when the
-    input is a single unsplittable parquet row group (the sandbox layout —
-    one scan task otherwise owns all expression work)."""
+    """(doc, _sh) — per-doc distinct shingle arrays computed ABOVE a
+    doc-hash exchange of the raw text. The repartition matters three ways:
+    it stops CollapseProject from re-inlining the shingle subtree into
+    every downstream consumer (a Catalyst expression-tree blowup, measured
+    80x slower), it spreads the shingle/minhash/intersection work across
+    the session's cores even when the input is a single unsplittable
+    parquet row group (the sandbox layout — one scan task otherwise owns
+    all expression work), and the exchange ships the raw text instead of
+    the larger shingle arrays (isolated: signature materialization
+    1.78 s → ~0.8 s cold with the shingling parallel)."""
     return df.select(
-        F.col(id_col).alias("doc"),
-        word_shingles(F.col(text_col), k).alias("_sh"),
-    ).repartition(F.col("doc"))
+        F.col(id_col).alias("doc"), F.col(text_col).alias("_t")
+    ).repartition(F.col("doc")).select(
+        "doc", word_shingles(F.col("_t"), k).alias("_sh")
+    )
 
 
 def _lsh_pairs_from_shingles(
