@@ -490,18 +490,18 @@ def q12(spark, sf):
     # cascade runs on all cores instead of the lone scan task
     d = _t(spark, sf, "documents")
     langs = sorted(TX.LANG_MARKERS)
-    scored = d.select(
+    scored = d.selectExpr(
         "doc_id",
         "lang",
         *[
-            TX.lang_score(F.col("text"), lang).alias(f"_s_{lang}")
+            f"{TX.lang_score_expr('text', lang)} AS _s_{lang}"
             for lang in langs
         ],
     ).repartition(F.col("doc_id"))
-    pred = TX.lang_id_from_scores(
-        {lang: F.col(f"_s_{lang}") for lang in langs}
+    pred = TX.lang_id_from_scores_expr(
+        {lang: f"_s_{lang}" for lang in langs}
     )
-    return scored.select("doc_id", "lang", pred.alias("pred_lang"))
+    return scored.selectExpr("doc_id", "lang", f"{pred} AS pred_lang")
 
 
 QUERIES["q12_lang_id"] = (
@@ -539,11 +539,11 @@ def q14(spark, sf):
     # simhash16 re-hashed every token once per bit position, 16x the md5
     # work, all inside the single scan task)
     d = _t(spark, sf, "documents")
-    h = d.select(
-        "doc_id", D.token_md5s(F.col("text")).alias("_h")
+    h = d.selectExpr(
+        "doc_id", f"{D.token_md5s_expr('text')} AS _h"
     ).repartition(F.col("doc_id"))
-    return h.select(
-        "doc_id", D.simhash16_from_hashes(F.col("_h")).alias("simhash")
+    return h.selectExpr(
+        "doc_id", f"{D.simhash16_from_hashes_expr('_h')} AS simhash"
     )
 
 

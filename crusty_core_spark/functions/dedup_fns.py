@@ -27,6 +27,25 @@ from pyspark.sql import functions as F
 
 from crusty_core_spark.functions.text import tokens
 
+# Spark-SQL *_expr twins of the Column builders below (same expression
+# trees, parsed JVM-side in ONE py4j round trip). The Column versions cost
+# hundreds-to-thousands of py4j round trips per call — each lambda in a
+# higher-order function is its own JVM callback dance — which put 0.4-0.9 s
+# of pure driver-side plan construction on the bench clock for q14/q16/q17
+# (cProfile: 2,534 round trips for the 16 simhash votes alone). The _expr
+# twins feed F.expr()/selectExpr() with the identical expression spelled as
+# SQL text; results and physical plans are unchanged (lambda variable names
+# aside), pinned by tests/test_expr_twins.py.
+
+
+def tokens_expr(col: str) -> str:
+    """Spark-SQL twin of text.tokens(col) for an expression string."""
+    return (
+        f"CASE WHEN length(trim({col})) = 0 "
+        f"THEN cast(array() as array<string>) "
+        f"ELSE split(trim({col}), '\\\\s+') END"
+    )
+
 
 # ---------------------------------------------------------------- shingles
 
@@ -50,6 +69,21 @@ def word_shingles(col: Column, k: int = 2) -> Column:
             lambda a, b: F.concat_ws(" ", a, b),
         )
     return F.array_distinct(grams)
+
+
+def word_shingles_expr(col: str, k: int = 2) -> str:
+    """Spark-SQL twin of word_shingles (same zip_with-of-slices tree)."""
+    toks = tokens_expr(col)
+    if k == 1:
+        return f"array_distinct({toks})"
+    m = f"greatest(size({toks}) - {k - 1}, 0)"
+    grams = f"slice({toks}, 1, {m})"
+    for j in range(1, k):
+        grams = (
+            f"zip_with({grams}, slice({toks}, {j + 1}, {m}), "
+            f"(x, y) -> concat_ws(' ', x, y))"
+        )
+    return f"array_distinct({grams})"
 
 
 def word_shingles_sql(col: str, k: int = 2) -> str:
@@ -102,6 +136,22 @@ def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
+def lsh_band_keys_expr(signature: str, bands: int, rows_per_band: int) -> str:
+    """Spark-SQL twin of lsh_band_keys (same md5-over-concat_ws tree)."""
+    keys = ", ".join(
+        "md5(concat_ws('|', '%d', %s))"
+        % (
+            b,
+            ", ".join(
+                f"element_at({signature}, {b * rows_per_band + r + 1})"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"array({keys})"
+
+
 def lsh_band_keys_sql(signature: str, bands: int, rows_per_band: int) -> str:
     keys = ", ".join(
         "md5(concat_ws('|', '%d', %s))"
@@ -125,10 +175,10 @@ def shingle_frame(
     all expression work), and the exchange ships the raw text instead of
     the larger shingle arrays (isolated: signature materialization
     1.78 s → ~0.8 s cold with the shingling parallel)."""
-    return df.select(
-        F.col(id_col).alias("doc"), F.col(text_col).alias("_t")
-    ).repartition(F.col("doc")).select(
-        "doc", word_shingles(F.col("_t"), k).alias("_sh")
+    return df.selectExpr(
+        f"{id_col} AS doc", f"{text_col} AS _t"
+    ).repartition(F.col("doc")).selectExpr(
+        "doc", f"{word_shingles_expr('_t', k)} AS _sh"
     )
 
 
@@ -152,30 +202,26 @@ def _lsh_pairs_from_shingles(
     the groupBy rides the existing doc-hash partitioning (no extra
     exchange)."""
     rows_per_band = num_hashes // bands
-    ex = sh_df.select("doc", F.explode_outer("_sh").alias("_s"))
+    ex = sh_df.selectExpr("doc", "explode_outer(_sh) AS _s")
     sig_df = (
         ex.groupBy("doc")
         .agg(
             *[
-                F.min(
-                    F.md5(F.concat(F.lit(f"{j}:"), F.col("_s")))
-                ).alias(f"_m{j}")
+                F.expr(f"min(md5(concat('{j}:', _s)))").alias(f"_m{j}")
                 for j in range(num_hashes)
             ]
         )
-        .select(
+        .selectExpr(
             "doc",
-            F.array(*[F.col(f"_m{j}") for j in range(num_hashes)]).alias(
-                "sig"
-            ),
+            "array(%s) AS sig"
+            % ", ".join(f"_m{j}" for j in range(num_hashes)),
         )
         .persist()
     )
-    banded = sig_df.select(
+    banded = sig_df.selectExpr(
         "doc",
-        F.explode(
-            lsh_band_keys(F.col("sig"), bands, rows_per_band)
-        ).alias("band_key"),
+        "explode(%s) AS band_key"
+        % lsh_band_keys_expr("sig", bands, rows_per_band),
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -207,6 +253,26 @@ def lsh_candidate_pairs(
 
 
 # ---------------------------------------------------------------- simhash
+
+def token_md5s_expr(col: str) -> str:
+    """Spark-SQL twin of token_md5s."""
+    return f"transform({tokens_expr(col)}, t -> md5(t))"
+
+
+def simhash16_from_hashes_expr(h: str) -> str:
+    """Spark-SQL twin of simhash16_from_hashes (the 16 bit-vote
+    aggregates were the single most py4j-expensive constructor in the
+    bench: 2,534 round trips ≈ 0.55 s on the q14 clock)."""
+    bits = []
+    for p in range(1, 17):
+        vote = (
+            f"aggregate({h}, 0, (acc, t) -> acc + (CASE WHEN "
+            f"substring(t, {p}, 1) IN "
+            f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END))"
+        )
+        bits.append(f"CASE WHEN {vote} > 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(bits) + ")"
+
 
 def token_md5s(col: Column) -> Column:
     """md5 per whitespace token — the shared input of the 16 simhash bit
@@ -336,29 +402,23 @@ def jaccard_pairs_lsh(
     O(pairs × shingles)."""
     sh_df = shingle_frame(df, id_col, text_col, k).persist()
     cands = _lsh_pairs_from_shingles(sh_df, num_hashes, bands)
-    a = sh_df.select(
-        F.col("doc").alias("doc_a"),
-        F.col("_sh").alias("_sh_a"),
-        F.size("_sh").alias("n_a"),
+    a = sh_df.selectExpr(
+        "doc AS doc_a", "_sh AS _sh_a", "size(_sh) AS n_a"
     )
-    b = sh_df.select(
-        F.col("doc").alias("doc_b"),
-        F.col("_sh").alias("_sh_b"),
-        F.size("_sh").alias("n_b"),
+    b = sh_df.selectExpr(
+        "doc AS doc_b", "_sh AS _sh_b", "size(_sh) AS n_b"
     )
     inter = (
         cands.join(a, on="doc_a")
         .join(b, on="doc_b")
         .withColumn(
-            "n_inter", F.size(F.array_intersect("_sh_a", "_sh_b"))
+            "n_inter", F.expr("size(array_intersect(_sh_a, _sh_b))")
         )
         # pairs with an empty intersection never surfaced from the old
         # exploded inner join — preserve that pair-set for any threshold
         .filter(F.col("n_inter") > 0)
     )
-    jac = F.round(
-        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
-    )
+    jac = F.expr("round(n_inter / (n_a + n_b - n_inter), 6)")
     return (
         inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)

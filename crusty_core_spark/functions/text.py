@@ -67,6 +67,36 @@ def lang_score(col: Column, lang: str) -> Column:
     return s
 
 
+def lang_score_expr(col: str, lang: str) -> str:
+    """Spark-SQL twin of lang_score (same padded-replace-count tree), for
+    F.expr()/selectExpr() call sites: one JVM parse instead of ~40 py4j
+    round trips per language (see dedup_fns' *_expr note)."""
+    p = f"concat(' ', lower({col}), ' ')"
+    parts = ["CAST(0 AS BIGINT)"]
+    for w in LANG_MARKERS[lang]:
+        term = f" {w} "
+        parts.append(
+            f"CAST((length({p}) - length(replace({p}, '{term}'))) "
+            f"/ {len(term)} AS BIGINT)"
+        )
+    return " + ".join(parts)
+
+
+def lang_id_from_scores_expr(scores: dict[str, str]) -> str:
+    """Spark-SQL twin of lang_id_from_scores over score column NAMES."""
+    cases = []
+    for lang in sorted(LANG_MARKERS):
+        conds = ["true"]
+        for other in sorted(LANG_MARKERS):
+            if other < lang:
+                conds.append(f"({scores[lang]} > {scores[other]})")
+            elif other > lang:
+                conds.append(f"({scores[lang]} >= {scores[other]})")
+        conds.append(f"({scores[lang]} > 0)")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(cases) + " ELSE 'und' END"
+
+
 def lang_id_from_scores(scores: dict[str, Column]) -> Column:
     """argmax CASE cascade over precomputed per-language score columns.
     Staging the scores behind an exchange boundary computes each score ONCE
