@@ -405,7 +405,7 @@ class CrawlEngine:
             # branch and the distributed probe; () would skip per-link
             # expansion and overstate the local rate
             chunks = [
-                (c, None, None, [], None)
+                (c, None, None, [], None, False)
                 for c in np.array_split(pdf_l, workers) if len(c)
             ]
             _get_pool(workers).map(_extract_worker, chunks)

@@ -136,14 +136,60 @@ def _picklable(*objs) -> bool:
         return False
 
 
+def _columnarize_parsed(pdf, user_cols, emit_title):
+    """Flatten a parsed chunk's per-page ``links_canon`` dict rows into
+    plain columnar lists. Runs INSIDE the fork-pool worker: the flatten is
+    embarrassingly parallel, and the columnar payload both pickles far
+    smaller than 20-links-per-page dict rows and spares the main thread
+    the 250k-element dict iteration it used to do serially."""
+    import itertools
+
+    import numpy as np
+
+    link_lists = pdf["links_canon"].tolist()
+    lens = [len(x) for x in link_lists]
+    flat = list(itertools.chain.from_iterable(link_lists))
+
+    def _i64(name):
+        # the calibration probe's frames carry no job/seq ids — zeros keep
+        # its timing representative without forking the worker code path
+        if name in pdf.columns:
+            return pd.to_numeric(pdf[name]).astype("int64").to_numpy()
+        return np.zeros(len(pdf), dtype="int64")
+
+    payload = {
+        "job_id": _i64("job_id"),
+        "task_seq": _i64("task_seq"),
+        "depth": _i64("depth"),
+        "lens": lens,
+        "pos": [int(lk["pos"]) for lk in flat],
+        "url": [lk["url"] for lk in flat],
+        "host": [lk["host"] for lk in flat],
+        "rel": [(lk["rel"] or "") for lk in flat],
+        "alt": [(lk["alt"] or "") for lk in flat],
+        "text": [(lk["text"] or "") for lk in flat],
+        "target": [(lk["target"] or "Follow") for lk in flat],
+    }
+    if emit_title:
+        payload["title"] = pdf["title"].tolist()
+    for uc in user_cols:
+        payload[uc] = pdf[uc].tolist()
+    return payload
+
+
 def _extract_worker(args):
-    pdf, expanders, user_extract, user_cols, parser = args
-    return next(
+    pdf, expanders, user_extract, user_cols, parser, emit_title = args
+    out = next(
         _extract_batches(
             iter([pdf]), "html", "content_encoding", "url",
             expanders, user_extract, user_cols, parser,
+            # text is never consumed by the local path (fetch_log has no
+            # text column) — same output pruning the distributed stage
+            # applies (plans/engine.py emit_text=False)
+            emit_title=emit_title, emit_text=False,
         )
     )
+    return _columnarize_parsed(out, user_cols, emit_title)
 
 
 def _bloom_positions_worker(args):
@@ -937,6 +983,8 @@ def _step_local_inner(engine, it: int) -> dict:
         follow_mask[:] = False
     parse_idx = np.flatnonzero(follow_mask)
     n_workers = cfg.resolved_local_workers()
+    emit_title = bool(cfg.fetch_log_detail)
+    parts: list[dict] = []
     if len(parse_idx):
         parse_pdf = pd.DataFrame(
             {
@@ -949,7 +997,7 @@ def _step_local_inner(engine, it: int) -> dict:
             }
         )
         ext_args = (engine.expanders, engine.user_extract, user_cols,
-                    getattr(engine, "parser", None))
+                    getattr(engine, "parser", None), emit_title)
         if (
             n_workers > 1
             and len(parse_pdf) >= 256
@@ -963,45 +1011,39 @@ def _step_local_inner(engine, it: int) -> dict:
             parts = _get_pool(n_workers).map(
                 _extract_worker, [(c, *ext_args) for c in chunks]
             )
-            parsed = pd.concat(parts, ignore_index=True)
         else:
-            parsed = next(
-                _extract_batches(
-                    iter([parse_pdf]), "html", "content_encoding", "url",
-                    *ext_args,
-                )
-            )
-    else:
-        parsed = pd.DataFrame(
-            columns=["job_id", "task_seq", "url", "depth", "title", "text",
-                     "links_canon", *user_cols]
-        )
+            parts = [_extract_worker((parse_pdf, *ext_args))]
     mark("extract")
 
-    # --- candidates: parsed links ∪ redirect re-emits, built COLUMNAR
-    #     (mirror of the parsed_links / redirect_cands selects — the old
-    #     per-link dict rows were the profiled hot spot of a fat iteration)
+    # --- candidates: parsed links ∪ redirect re-emits, assembled from the
+    #     workers' pre-flattened columnar payloads (the per-link dict rows,
+    #     and later the dict flatten itself, were the profiled hot spots of
+    #     a fat iteration — both now run inside the parallel workers)
     import itertools
 
-    if len(parsed):
-        link_lists = parsed["links_canon"].tolist()
-        lens = [len(x) for x in link_lists]
-        p_job = pd.to_numeric(parsed["job_id"]).astype("int64").to_numpy()
-        p_seq = pd.to_numeric(parsed["task_seq"]).astype("int64").to_numpy()
-        p_depth = pd.to_numeric(parsed["depth"]).astype("int64").to_numpy()
-        flat = list(itertools.chain.from_iterable(link_lists))
+    if parts:
+        p_job = np.concatenate([p["job_id"] for p in parts])
+        p_seq = np.concatenate([p["task_seq"] for p in parts])
+        p_depth = np.concatenate([p["depth"] for p in parts])
+        lens = list(itertools.chain.from_iterable(p["lens"] for p in parts))
+
+        def _cat(key):
+            if len(parts) == 1:
+                return parts[0][key]
+            return list(itertools.chain.from_iterable(p[key] for p in parts))
+
         c_job = np.repeat(p_job, lens).tolist()
         c_seq = np.repeat(p_seq, lens).tolist()
         c_depth = np.repeat(p_depth + 1, lens).tolist()
-        c_pos = [int(link["pos"]) for link in flat]
-        c_url = [link["url"] for link in flat]
-        c_host = [link["host"] for link in flat]
-        c_rel = [(link["rel"] or "") for link in flat]
-        c_alt = [(link["alt"] or "") for link in flat]
-        c_text = [(link["text"] or "") for link in flat]
-        c_target = [(link["target"] or "Follow") for link in flat]
-        c_red = [0] * len(flat)
-        c_marker = [0] * len(flat)
+        c_pos = _cat("pos")
+        c_url = _cat("url")
+        c_host = _cat("host")
+        c_rel = _cat("rel")
+        c_alt = _cat("alt")
+        c_text = _cat("text")
+        c_target = _cat("target")
+        c_red = [0] * len(c_url)
+        c_marker = [0] * len(c_url)
     else:
         c_job, c_seq, c_depth, c_pos = [], [], [], []
         c_url, c_host, c_rel, c_alt, c_text, c_target = [], [], [], [], [], []
@@ -1301,10 +1343,17 @@ def _step_local_inner(engine, it: int) -> dict:
         "write_size": wr_a,
     }
     if cfg.fetch_log_detail:
-        titles = {
-            (int(p.job_id), int(p.task_seq)): p
-            for p in parsed.itertuples(index=False)
-        }
+        titles: dict = {}
+        for p in parts:
+            t_list = p.get("title")
+            uc_lists = [p[uc] for uc in user_cols]
+            for i, (j, s) in enumerate(
+                zip(p["job_id"].tolist(), p["task_seq"].tolist())
+            ):
+                titles[(j, s)] = (
+                    t_list[i] if t_list is not None else None,
+                    [ucl[i] for ucl in uc_lists],
+                )
         from collections import Counter
 
         # parsed-link candidates only (redirect re-emits carry redirect>=1)
@@ -1318,12 +1367,11 @@ def _step_local_inner(engine, it: int) -> dict:
             count=n_rows,
         )
         fl_data["title"] = [
-            _none(getattr(p, "title", None)) if p is not None else None
-            for p in parsed_rows
+            _none(p[0]) if p is not None else None for p in parsed_rows
         ]
-        for uc in user_cols:
+        for ui, uc in enumerate(user_cols):
             fl_data[uc] = [
-                _none(getattr(p, uc, None)) if p is not None else None
+                _none(p[1][ui]) if p is not None else None
                 for p in parsed_rows
             ]
     else:
