@@ -210,3 +210,42 @@ def test_no_follow_slim_and_lpp_term():
     c = _ab(rows, [_state(0)],
             dict(links_per_page_budget=1, robots_txt=False))
     assert c == {"skip": 1, "accept": 1, "term": 1}
+
+
+def test_slimagg_groups_matches_pandas_reference():
+    """_slimagg_groups must reproduce the pandas groupby(sort=False)
+    python-lambda aggregation it replaced: same group ORDER (first
+    appearance), same sizes, same comma-joined positions in original
+    within-group order — across randomized interleavings."""
+    import numpy as np
+    import pandas as pd
+
+    from crusty_core_spark.plans.local_step import _slimagg_groups
+
+    rng = np.random.RandomState(11)
+    for trial in range(20):
+        n = int(rng.randint(1, 400))
+        jj = rng.randint(0, 9, n).astype("int64")
+        tt = rng.randint(0, 17, n).astype("int64")
+        pp = np.array(
+            [["skip", "rejected"][i] for i in rng.randint(0, 2, n)],
+            dtype=object,
+        )
+        ll = rng.randint(0, 1000, n).astype("int64")
+
+        ref = (
+            pd.DataFrame(
+                {"job_id": jj, "task_seq": tt, "pre_action": pp,
+                 "link_pos": ll}
+            )
+            .groupby(["job_id", "task_seq", "pre_action"], sort=False)
+            ["link_pos"]
+            .agg(n="size", txt=lambda s: ",".join(map(str, s.tolist())))
+            .reset_index()
+        )
+        g_job, g_ts, g_n, g_txt, g_pre = _slimagg_groups(jj, tt, pp, ll)
+        assert g_job.tolist() == ref["job_id"].tolist(), trial
+        assert g_ts.tolist() == ref["task_seq"].tolist(), trial
+        assert g_n.tolist() == ref["n"].astype("int64").tolist(), trial
+        assert g_txt == ref["txt"].tolist(), trial
+        assert g_pre == ref["pre_action"].tolist(), trial
