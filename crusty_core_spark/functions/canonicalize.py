@@ -35,6 +35,27 @@ from pyspark.sql import types as T
 
 _DEFAULT_PORTS = {"http": 80, "https": 443, "ftp": 21, "ws": 80, "wss": 443}
 
+import re as _re
+
+#: RFC-3986 path characters only — anything outside (``?``/``#``, spaces,
+#: control bytes, backslashes, unicode) routes to the full parser, whose
+#: edge-case semantics (tab/newline stripping, escaping passthrough) the
+#: fast path must never have to replicate.
+_FAST_PATH_CHARS = r"[A-Za-z0-9._~!$&'()*+,;=:@/%\-]"
+#: absolute-path href: "/a/b.html" — joined against a simple base by
+#: plain concatenation (urljoin semantics for absolute paths)
+_FAST_REL = _re.compile(rf"^/{_FAST_PATH_CHARS}*$")
+#: simple canonical base: lowercase http(s), bare lowercase reg-name host
+#: (no port/userinfo/IPv6), path/query/fragment irrelevant for an
+#: absolute-path join
+_FAST_BASE = _re.compile(r"^(https?)://([a-z0-9.-]+)(?:[/?#]|$)")
+#: simple absolute href: scheme+host already lowercase, plain path, no
+#: query/fragment/port/userinfo — canonical form is itself (with "/" for
+#: an empty path)
+_FAST_ABS = _re.compile(
+    rf"^(https?)://([a-z0-9.-]+)(/{_FAST_PATH_CHARS}*)?$"
+)
+
 
 def canonicalize_url_host(
     href: str | None, base: str | None = None
@@ -45,12 +66,50 @@ def canonicalize_url_host(
     to ``urlsplit(canonical_url).hostname`` (lowercased, stripped, no
     port/userinfo) without paying a second urlsplit. The fused extract
     stage re-splits every emitted link otherwise (~20 links/page — the
-    second split was ~10% of the whole extract crossing)."""
+    second split was ~10% of the whole extract crossing).
+
+    Fast paths: the two link shapes that dominate real crawls — an
+    absolute-path href against a simple canonical base, and a simple
+    absolute http(s) URL — are recognized by strict regexes and built by
+    concatenation (~2 µs) instead of urljoin+urlsplit+urlunsplit
+    (~15-40 µs, ~half the extract kernel's time at 20 links/page). The
+    regexes only accept inputs whose canonical form is provably the
+    concatenation (lowercase scheme/host, RFC-3986 path bytes, no
+    query/fragment/port/userinfo); everything else falls through to the
+    full parser. Output-identical by construction and pinned by
+    ``tests/test_canonicalize.py::test_fast_path_matches_full_parser``."""
     if href is None:
         return None
     href = href.strip()
     if not href:
         return None
+    # "/." excludes dot segments ("/./", "/../", trailing "/." or "/..")
+    # in EITHER shape: urljoin applies remove_dot_segments, which plain
+    # concatenation cannot reproduce
+    if href[0] == "/":
+        if (
+            base is not None
+            and href[:2] != "//"
+            and "/." not in href
+            and _FAST_REL.match(href)
+        ):
+            m = _FAST_BASE.match(base)
+            if m:
+                return f"{m.group(1)}://{m.group(2)}{href}", m.group(2)
+    elif "/." not in href:
+        m = _FAST_ABS.match(href)
+        if m:
+            host = m.group(2)
+            return f"{m.group(1)}://{host}{m.group(3) or '/'}", host
+    return _canonicalize_full(href, base)
+
+
+def _canonicalize_full(
+    href: str, base: str | None
+) -> tuple[str, str] | None:
+    """The full urljoin/urlsplit canonicalizer (href already stripped,
+    non-empty). Kept as a named function so the fast-path equivalence
+    test can call it directly on inputs the fast path accepts."""
     try:
         raw = urljoin(base, href) if base else href
         parts = urlsplit(raw)

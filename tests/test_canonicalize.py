@@ -83,3 +83,49 @@ def test_join_idempotent_under_base(path):
     if c1 is not None:
         assert canonicalize_url(c1) == c1
         assert c1.startswith("http")
+
+
+def test_fast_path_matches_full_parser():
+    """The concatenation fast paths in canonicalize_url_host must be
+    byte-identical to the full urljoin/urlsplit parser for EVERY input —
+    either they produce the same output, or they must not trigger. Sweeps
+    the dominant crawl shapes plus adversarial edges (dot segments,
+    queries, fragments, ports, userinfo, uppercase, protocol-relative,
+    controls, backslashes, unicode, params, empty/odd hosts)."""
+    from crusty_core_spark.functions.canonicalize import (
+        _canonicalize_full,
+        canonicalize_url_host,
+    )
+
+    hrefs = [
+        "/doc/123", "/", "/a/b.html", "/a;x=1", "/a:b", "/a%2Fb",
+        "/a//b", "/a./b", "/.hidden", "/a/./b", "/a/../b", "/a/..",
+        "/a/.", "/..", "/.", "//cdn.example/x", "/a?b=2&a=1", "/a#frag",
+        "/a?b=2#f", "/a b", "/a\tb", "/a\\b", "/ü", "/a\x01b",
+        "http://h.example/p", "http://h.example", "https://h.example/",
+        "HTTP://h.example/p", "http://H.example/p", "http://h.example:80/p",
+        "http://h.example:8080/p", "http://u@h.example/p",
+        "http://u:pw@h.example/p", "http://h.example/p?x=1",
+        "http://h.example/p#f", "http://h.example/a/../b",
+        "http://h.example./p", "http://h.example/p;q=1",
+        "http://[::1]/p", "http:///p", "http://", "ftp://h.example/f",
+        "mailto:x@y", "javascript:void(0)", "page4.html", "../up",
+        "./same", "a/b", "", "   ", "?q=1", "#frag", ";params",
+        "http://h.example/P/Q",  # uppercase path stays
+        "http://h-a.b_c.example/p",  # _ not in host class -> full parser
+    ]
+    bases = [
+        None, "http://h5.example/p/3", "https://h.example/",
+        "http://h.example", "HTTP://h.example/", "http://h.example:8080/x",
+        "http://u@h.example/x", "http://h.example/x?q=1",
+        "notaurl", "", "ftp://h.example/x", "http://h.example/x#f",
+    ]
+    for base in bases:
+        for href in hrefs:
+            got = canonicalize_url_host(href, base)
+            want = (
+                _canonicalize_full(href.strip(), base)
+                if href and href.strip()
+                else None
+            )
+            assert got == want, (href, base, got, want)
