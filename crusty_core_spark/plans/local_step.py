@@ -206,6 +206,11 @@ def _bloom_positions_worker(args):
 
 def _chain_worker(args):
     cfg, filters, drain, key, left, right = args
+    if isinstance(left, dict):
+        # dict-of-column-arrays handoff: the main thread ships numpy
+        # slices and the (cheap but serial) DataFrame construction runs
+        # here, in parallel across the pool workers
+        left = pd.DataFrame(left, columns=_CHAIN_IN_COLS)
     fn = make_chain_fn(cfg, filters, drain)
     return fn((key,), left, right)
 
@@ -1265,37 +1270,36 @@ def _step_local_inner(engine, it: int) -> dict:
         i_depth, i_red, i_marker = depth_a, red_a, marker_a
         i_seen = np.zeros(n_rows, dtype=bool)
     none_fs = [None] * (nf + ns)
-    chain_in = pd.DataFrame(
-        {
-            "job_id": i_job,
-            "kind": ["resp"] * n_rows + ["cand"] * nf + ["slimagg"] * ns,
-            "task_seq": i_seq,
-            "link_pos": i_pos,
-            "url": url_a.tolist() + (_take(c_url, fidx) if nf else [])
-            + [None] * ns,
-            "host": host_a.tolist() + (_take(c_host, fidx) if nf else [])
-            + [None] * ns,
-            "rel": fetched["rel"].tolist()
-            + (_take(c_rel, fidx) if nf else []) + [None] * ns,
-            "alt": fetched["alt"].tolist()
-            + (_take(c_alt, fidx) if nf else []) + [None] * ns,
-            "text": fetched["text"].tolist()
-            + (_take(c_text, fidx) if nf else []) + ns_txt,
-            "depth": i_depth,
-            "redirect": i_red,
-            "target": target_a.tolist()
-            + (_take(c_target, fidx) if nf else []) + [None] * ns,
-            "marker": i_marker,
-            "seen_global": i_seen,
-            "status": status_list + none_fs,
-            "content_type": ct_list + none_fs,
-            "content_encoding": ce_list + none_fs,
-            "body": body_list + none_fs,
-            "action": action.tolist() + none_fs,
-            "pre_action": [None] * (n_rows + nf) + ns_pre,
-        },
-        columns=_CHAIN_IN_COLS,
-    )
+    _obj = lambda lst: np.asarray(lst, dtype=object)  # noqa: E731
+    chain_cols = {
+        "job_id": i_job,
+        "kind": _obj(["resp"] * n_rows + ["cand"] * nf + ["slimagg"] * ns),
+        "task_seq": i_seq,
+        "link_pos": i_pos,
+        "url": _obj(url_a.tolist() + (_take(c_url, fidx) if nf else [])
+                    + [None] * ns),
+        "host": _obj(host_a.tolist() + (_take(c_host, fidx) if nf else [])
+                     + [None] * ns),
+        "rel": _obj(fetched["rel"].tolist()
+                    + (_take(c_rel, fidx) if nf else []) + [None] * ns),
+        "alt": _obj(fetched["alt"].tolist()
+                    + (_take(c_alt, fidx) if nf else []) + [None] * ns),
+        "text": _obj(fetched["text"].tolist()
+                     + (_take(c_text, fidx) if nf else []) + ns_txt),
+        "depth": i_depth,
+        "redirect": i_red,
+        "target": _obj(target_a.tolist()
+                       + (_take(c_target, fidx) if nf else []) + [None] * ns),
+        "marker": i_marker,
+        "seen_global": i_seen,
+        "status": _obj(status_list + none_fs),
+        "content_type": _obj(ct_list + none_fs),
+        "content_encoding": _obj(ce_list + none_fs),
+        "body": _obj(body_list + none_fs),
+        "action": _obj(action.tolist() + none_fs),
+        "pre_action": _obj([None] * (n_rows + nf) + ns_pre),
+    }
+    n_chain_rows = n_rows + nf + ns
     # Jobs are processed independently inside bucket_fn, so ANY partition of
     # the rows by job produces the identical per-job output (row order in
     # the appended log differs, which nothing depends on: every consumer
@@ -1303,21 +1307,29 @@ def _step_local_inner(engine, it: int) -> dict:
     # across the fork pool — the same bucketing the Spark cogroup uses.
     if (
         n_workers > 1
-        and len(chain_in) >= 2000
+        and n_chain_rows >= 2000
         and _picklable(engine.custom_task_filters)
     ):
         # one fold call per WORKER (not per bucket): jobs are independent,
         # so any job-disjoint partition of the rows is valid — n_workers
         # coarse chunks keep the pickle/transfer overhead at n_workers
-        # round-trips instead of N_JOB_BUCKETS
-        in_g = chain_in["job_id"].astype("int64") % n_workers
+        # round-trips instead of N_JOB_BUCKETS. The handoff is the column
+        # dict itself: a stable argsort by group + contiguous slices per
+        # worker (within-group original order preserved), with each
+        # worker's DataFrame constructed in the CHILD — the old path built
+        # one big frame and took 16 boolean-mask copies of it serially.
+        grp = (np.asarray(chain_cols["job_id"], dtype="int64")
+               % n_workers)
+        order = np.argsort(grp, kind="stable")
+        bounds = np.searchsorted(grp[order], np.arange(n_workers + 1))
+        sorted_cols = {k: np.asarray(v)[order] for k, v in chain_cols.items()}
         st_g = (
             states["job_id"].astype("int64") % n_workers
             if len(states) else None
         )
         tasks = [
             (cfg, engine.custom_task_filters, drain, g,
-             chain_in[in_g == g],
+             {k: v[bounds[g]:bounds[g + 1]] for k, v in sorted_cols.items()},
              states[st_g == g] if st_g is not None else states.iloc[0:0])
             for g in range(n_workers)
         ]
@@ -1328,6 +1340,7 @@ def _step_local_inner(engine, it: int) -> dict:
             if parts else pd.DataFrame(columns=S.CHAIN_OUT_COLS)
         )
     else:
+        chain_in = pd.DataFrame(chain_cols, columns=_CHAIN_IN_COLS)
         fn = make_chain_fn(cfg, engine.custom_task_filters, drain)
         chain_out = fn((0,), chain_in, states)
     if not len(chain_out):
