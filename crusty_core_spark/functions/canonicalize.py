@@ -55,6 +55,12 @@ _FAST_BASE = _re.compile(r"^(https?)://([a-z0-9.-]+)(?:[/?#]|$)")
 _FAST_ABS = _re.compile(
     rf"^(https?)://([a-z0-9.-]+)(/{_FAST_PATH_CHARS}*)?$"
 )
+#: single already-canonical query param: ``k=v`` where both sides use only
+#: characters that parse_qsl leaves untouched (no %-escapes, '+', '&', ';',
+#: '=') AND urlencode re-emits verbatim (quote_plus safe set) — for such a
+#: query, sort(parse_qsl) → urlencode is the identity, so the canonical
+#: query IS the input
+_FAST_QUERY = _re.compile(r"^[A-Za-z0-9_.~-]+=[A-Za-z0-9_.~-]*$")
 
 
 def canonicalize_url_host(
@@ -72,10 +78,12 @@ def canonicalize_url_host(
     absolute-path href against a simple canonical base, and a simple
     absolute http(s) URL — are recognized by strict regexes and built by
     concatenation (~2 µs) instead of urljoin+urlsplit+urlunsplit
-    (~15-40 µs, ~half the extract kernel's time at 20 links/page). The
+    (~15-40 µs, ~half the extract kernel's time at 20 links/page). A
+    ``#fragment`` suffix is pre-stripped before matching (fragments never
+    affect reference resolution and the canonical form drops them). The
     regexes only accept inputs whose canonical form is provably the
     concatenation (lowercase scheme/host, RFC-3986 path bytes, no
-    query/fragment/port/userinfo); everything else falls through to the
+    query/port/userinfo); everything else falls through to the
     full parser. Output-identical by construction and pinned by
     ``tests/test_canonicalize.py::test_fast_path_matches_full_parser``."""
     if href is None:
@@ -83,24 +91,63 @@ def canonicalize_url_host(
     href = href.strip()
     if not href:
         return None
+    # Fragment pre-strip: the fragment never participates in reference
+    # resolution (urljoin resolves path/query from the pre-'#' part and
+    # carries the fragment through verbatim) and the canonical form always
+    # drops it — so the fast paths may match on the pre-'#' part alone.
+    # "#frag"-only hrefs (i == 0) resolve to the BASE's defragmented self;
+    # that shape keeps the full parser.
+    i = href.find("#")
+    p = href[:i] if i > 0 else href
     # "/." excludes dot segments ("/./", "/../", trailing "/." or "/..")
     # in EITHER shape: urljoin applies remove_dot_segments, which plain
     # concatenation cannot reproduce
-    if href[0] == "/":
-        if (
-            base is not None
-            and href[:2] != "//"
-            and "/." not in href
-            and _FAST_REL.match(href)
-        ):
-            m = _FAST_BASE.match(base)
-            if m:
-                return f"{m.group(1)}://{m.group(2)}{href}", m.group(2)
-    elif "/." not in href:
-        m = _FAST_ABS.match(href)
-        if m:
-            host = m.group(2)
-            return f"{m.group(1)}://{host}{m.group(3) or '/'}", host
+    if i != 0:
+        # Query pre-split: a single canonical "k=v" param rides the fast
+        # path verbatim (see _FAST_QUERY); any other query shape — empty
+        # "?", multi-param (needs sorting), escapes — takes the full
+        # parser. qpos == 0 ("?k=v" relative-query href) resolves against
+        # the BASE path: full parser.
+        q = ""
+        qpos = p.find("?")
+        if qpos > 0:
+            qs = p[qpos + 1 :]
+            if _FAST_QUERY.match(qs):
+                q = "?" + qs
+                p = p[:qpos]
+            else:
+                p = ""
+        # trailing-';' exclusion: when a BASE is joined, urljoin's
+        # urlparse→urlunparse round trip splits ';params' off the last
+        # path segment and drops the ';' when params are empty
+        # ("/y;" → "/y") — concatenation can't reproduce that, so such
+        # paths take the full parser. (Without a base, href is never
+        # urljoin'd and the ';' survives — concatenation is exact there.)
+        if p:
+            if p[0] == "/":
+                if (
+                    base is not None
+                    and p[:2] != "//"
+                    and "/." not in p
+                    and not p.endswith(";")
+                    and _FAST_REL.match(p)
+                ):
+                    m = _FAST_BASE.match(base)
+                    if m:
+                        return (
+                            f"{m.group(1)}://{m.group(2)}{p}{q}",
+                            m.group(2),
+                        )
+            elif "/." not in p and not (
+                base is not None and p.endswith(";")
+            ):
+                m = _FAST_ABS.match(p)
+                if m:
+                    host = m.group(2)
+                    return (
+                        f"{m.group(1)}://{host}{m.group(3) or '/'}{q}",
+                        host,
+                    )
     return _canonicalize_full(href, base)
 
 

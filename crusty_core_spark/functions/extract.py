@@ -146,6 +146,182 @@ class _PinnedExtractor(HTMLParser):
         self.links.sort(key=lambda l: l["pos"])
 
 
+# ---------------------------------------------------------------------
+# Strict-subset fast scanner. html.parser's tokenizer machinery (goahead /
+# parse_starttag / updatepos and their per-tag regex dances) is ~75% of the
+# parse cost at ~27 tags/page; this scanner tokenizes the well-formed
+# subset that dominates real pages with ONE compiled regex per tag and
+# inlines the _PinnedExtractor state machine. Anything outside the subset
+# (comments, declarations, PIs, script/style CDATA, single-quoted or
+# unquoted attribute values, stray '<', malformed tags) returns None and
+# the caller reruns the stdlib HTMLParser over the whole document — so the
+# fast path is only ever an accelerator, never a semantics change. The
+# handler logic mirrors _PinnedExtractor line for line; equivalence is
+# pinned by tests/test_extract.py::test_fast_scan_matches_htmlparser
+# (adversarial sweep + corpus sweep).
+#
+# Exactness notes vs html.parser (convert_charrefs=True):
+# - inter-tag data arrives as ONE segment per '<'-gap, unescaped wholesale
+#   (goahead: handle_data(unescape(rawdata[i:j]))) — replicated;
+#   html.unescape is identity when '&' is absent, so it is skipped then;
+# - attribute values are unquoted then unescape()d (parse_starttag) —
+#   replicated, and the strict attr regex only accepts the double-quoted /
+#   valueless shapes on which attrfind_tolerant parses identically;
+# - tag/attr names lowercase; '/>'-ended tags go to handle_startendtag
+#   (which the pinned extractor defines as img-only) — replicated.
+
+import re as _re
+from html import unescape as _unescape
+
+_STRICT_START = _re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9]*)"
+    r"((?:\s+[a-zA-Z][a-zA-Z0-9_:.-]*(?:=\"[^\"<>]*\")?)*)"
+    r"\s*(/?)>"
+)
+_STRICT_END = _re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_STRICT_ATTR = _re.compile(r"([a-zA-Z][a-zA-Z0-9_:.-]*)(?:=\"([^\"<>]*)\")?")
+
+
+def _fast_extract(html: str):
+    """Tokenize strict-subset HTML and run the pinned extraction state
+    machine inline. Returns ``(title, text_parts, links, images)`` or
+    None when the document needs the full HTMLParser."""
+    links: list[dict] = []
+    images: list[dict] = []
+    open_anchors: list[list] = []  # [href, rel, alt, text_parts, pos]
+    text_parts: list[str] = []
+    title = None
+    title_parts = None
+    title_done = False
+    find = html.find
+    n = len(html)
+    pos = 0
+    while True:
+        lt = find("<", pos)
+        if lt < 0:
+            seg = html[pos:]
+            if seg:
+                if "&" in seg:
+                    seg = _unescape(seg)
+                if title_parts is not None:
+                    title_parts.append(seg)
+                for a in open_anchors:
+                    a[3].append(seg)
+                s = seg.strip()
+                if s:
+                    text_parts.append(s)
+            break
+        if lt > pos:
+            seg = html[pos:lt]
+            if "&" in seg:
+                seg = _unescape(seg)
+            if title_parts is not None:
+                title_parts.append(seg)
+            for a in open_anchors:
+                a[3].append(seg)
+            s = seg.strip()
+            if s:
+                text_parts.append(s)
+        nxt = html[lt + 1 : lt + 2]
+        if not nxt:
+            return None  # lone '<' at EOF
+        if nxt == "/":
+            m = _STRICT_END.match(html, lt)
+            if m is None:
+                return None
+            tag = m.group(1)
+            if not tag.islower():
+                tag = tag.lower()
+            if tag == "a":
+                if open_anchors:
+                    a = open_anchors.pop()
+                    links.append(
+                        {
+                            "href": a[0],
+                            "rel": a[1],
+                            "alt": a[2],
+                            "text": "".join(a[3]).strip(),
+                            "pos": a[4],
+                        }
+                    )
+            elif tag == "title":
+                if title_parts is not None:
+                    title = "".join(title_parts).strip()
+                    title_parts = None
+                    title_done = True
+            elif tag in _SKIP_TEXT_TAGS:
+                return None  # CDATA content model — full parser
+            pos = m.end()
+            continue
+        m = _STRICT_START.match(html, lt)
+        if m is None:
+            return None  # comment/decl/PI/stray '<'/unsupported tag shape
+        tag = m.group(1)
+        if not tag.islower():
+            tag = tag.lower()
+        if tag == "a":
+            # self-closing <a/> goes to handle_startendtag, which the
+            # pinned extractor defines as img-only → ignored
+            if not m.group(3):
+                d = {}
+                rawattrs = m.group(2)
+                if rawattrs:
+                    for am in _STRICT_ATTR.finditer(rawattrs):
+                        v = am.group(2)
+                        if v and "&" in v:
+                            v = _unescape(v)
+                        d[am.group(1).lower()] = v
+                open_anchors.append(
+                    [
+                        d.get("href"),
+                        d.get("rel") or "",
+                        (d.get("alt") or "").strip(),
+                        [],
+                        len(links) + len(open_anchors),
+                    ]
+                )
+        elif tag == "img":
+            d = {}
+            rawattrs = m.group(2)
+            if rawattrs:
+                for am in _STRICT_ATTR.finditer(rawattrs):
+                    v = am.group(2)
+                    if v and "&" in v:
+                        v = _unescape(v)
+                    d[am.group(1).lower()] = v
+            src = d.get("src")
+            if src is not None:
+                images.append(
+                    {
+                        "href": src,
+                        "rel": d.get("rel") or "",
+                        "alt": (d.get("alt") or "").strip(),
+                        "text": "",
+                        "pos": len(images),
+                    }
+                )
+        elif tag == "title":
+            if not m.group(3) and not title_done:
+                title_parts = []
+        elif tag in _SKIP_TEXT_TAGS:
+            return None
+        pos = m.end()
+    # finish(): unclosed anchors emit in FIFO order, then sort by pos
+    while open_anchors:
+        a = open_anchors.pop(0)
+        links.append(
+            {
+                "href": a[0],
+                "rel": a[1],
+                "alt": a[2],
+                "text": "".join(a[3]).strip(),
+                "pos": a[4],
+            }
+        )
+    links.sort(key=lambda l: l["pos"])
+    return title, text_parts, links, images
+
+
 def decode_body(body: bytes | None, content_encoding: str | None) -> bytes:
     if body is None:
         return b""
@@ -173,21 +349,32 @@ def extract_document(
         )
     elif html is None:
         html = ""
-    p = _PinnedExtractor()
+    res = None
     try:
-        p.feed(html)
-        p.finish()
+        res = _fast_extract(html)
     except Exception:
-        pass  # malformed HTML: keep whatever was extracted (parser is lenient)
+        res = None
+    if res is not None:
+        title, text_parts, links, images = res
+    else:
+        p = _PinnedExtractor()
+        try:
+            p.feed(html)
+            p.finish()
+        except Exception:
+            pass  # malformed HTML: keep whatever was extracted (lenient)
+        title, text_parts, links, images = (
+            p.title, p.text_parts, p.links, p.images
+        )
     # drop anchors with no href — reference skips them
-    links = [l for l in p.links if l["href"] is not None]
+    links = [l for l in links if l["href"] is not None]
     for i, l in enumerate(links):
         l["pos"] = i
     return {
-        "title": p.title,
-        "text": "\n".join(p.text_parts),
+        "title": title,
+        "text": "\n".join(text_parts),
         "links": links,
-        "images": p.images,
+        "images": images,
     }
 
 

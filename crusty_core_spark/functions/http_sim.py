@@ -148,6 +148,77 @@ def io_metrics(
     return headers, rd, wr
 
 
+def io_metrics_rows(
+    *,
+    urls,
+    hosts,
+    user_agent: str,
+    resolve_failed,
+    targets,
+    statuses,
+    content_types,
+    content_encodings,
+    locations,
+    body_lens,
+    accepted_content_types,
+    custom_headers=(),
+):
+    """Batch twin of :func:`io_metrics` — identical formulas, one pass,
+    constants hoisted (the per-row call chain request_size →
+    response_headers → head_size was ~10 µs/row of pure call overhead on
+    a 29k-row fetch_log assembly). Returns (headers_list, read_sizes,
+    write_sizes) as plain lists. Pinned row-for-row against io_metrics by
+    ``tests/test_http_sim.py::test_io_metrics_rows_matches_scalar``."""
+    wr_base = (
+        REQ_FIXED + len(user_agent) + custom_header_bytes(custom_headers)
+    )
+    accepted = tuple(accepted_content_types)
+    # head_size constants: STATUS_LINE + trailing CRLF + per-header
+    # "k: v\r\n" (len(k) + len(v) + 4); key lengths are fixed
+    base_rd = STATUS_LINE + 2 + 6 + len(SERVER) + 4  # + "server" line
+    n = len(urls)
+    hdr_out: list = [None] * n
+    rd_out = [0] * n
+    wr_out = [0] * n
+    for i in range(n):
+        if resolve_failed[i] or targets[i] == "JustResolveDNS":
+            continue
+        wr_out[i] = wr_base + len(urls[i]) + len(hosts[i])
+        st = statuses[i]
+        if st is None:
+            continue
+        st = int(st)
+        is_redirect = 300 <= st <= 399
+        h = {"server": [SERVER]}
+        rd = base_rd
+        ct = content_types[i]
+        if ct is not None:
+            h["content-type"] = [ct]
+            rd += 12 + len(ct) + 4
+        bl = body_lens[i]
+        if bl is not None:
+            s = str(bl)
+            h["content-length"] = [s]
+            rd += 14 + len(s) + 4
+        ce = content_encodings[i]
+        if ce is not None:
+            h["content-encoding"] = [ce]
+            rd += 16 + len(ce) + 4
+        loc = locations[i]
+        if is_redirect and loc is not None:
+            h["location"] = [loc]
+            rd += 8 + len(loc) + 4
+        if not is_redirect and bl is not None and targets[i] != "Head":
+            ctt = ct or ""
+            for a in accepted:
+                if a in ctt:
+                    rd += int(bl)
+                    break
+        hdr_out[i] = h
+        rd_out[i] = rd
+    return hdr_out, rd_out, wr_out
+
+
 # ------------------------------------------------------------------ spark
 
 def with_io_columns(df, cfg) -> "tuple[Column, Column, Column]":

@@ -1358,29 +1358,25 @@ def _step_local_inner(engine, it: int) -> dict:
     wait_a = int(it) - pd.to_numeric(
         fetched["added_iter"]
     ).astype("int64").to_numpy()
-    hdr_list: list = [None] * n_rows
-    rd_a = np.zeros(n_rows, dtype="int64")
-    wr_a = np.zeros(n_rows, dtype="int64")
-    for i in range(n_rows):
-        # wire byte tap + header map (functions/http_sim.py) — identical
-        # formulas to the engine's Column path and the simulator
-        h, rd, wr = HS.io_metrics(
-            url=url_a[i],
-            host=host_a[i],
-            user_agent=cfg.user_agent,
-            resolve_failed=bool(rf_a[i]),
-            target=target_a[i],
-            status=status_out[i],
-            content_type=ct_list[i],
-            content_encoding=ce_list[i],
-            location=loc_list[i],
-            body_len=bytes_list[i],
-            accepted_content_types=cfg.accepted_content_types,
-            custom_headers=cfg.custom_headers,
-        )
-        hdr_list[i] = h
-        rd_a[i] = rd
-        wr_a[i] = wr
+    # wire byte tap + header map (functions/http_sim.py) — identical
+    # formulas to the engine's Column path and the simulator; batch twin
+    # (row-pinned by test_http_sim) instead of 3 function calls per row
+    hdr_list, rd_list, wr_list = HS.io_metrics_rows(
+        urls=url_a,
+        hosts=host_a,
+        user_agent=cfg.user_agent,
+        resolve_failed=rf_a,
+        targets=target_a,
+        statuses=status_out,
+        content_types=ct_list,
+        content_encodings=ce_list,
+        locations=loc_list,
+        body_lens=bytes_list,
+        accepted_content_types=cfg.accepted_content_types,
+        custom_headers=cfg.custom_headers,
+    )
+    rd_a = np.asarray(rd_list, dtype="int64")
+    wr_a = np.asarray(wr_list, dtype="int64")
     fl_data = {
         "iter": np.full(n_rows, int(it), dtype="int64"),
         "job_id": job_a,

@@ -113,6 +113,23 @@ def test_fast_path_matches_full_parser():
         "./same", "a/b", "", "   ", "?q=1", "#frag", ";params",
         "http://h.example/P/Q",  # uppercase path stays
         "http://h-a.b_c.example/p",  # _ not in host class -> full parser
+        # fragment pre-strip shapes (fast path matches the pre-'#' part)
+        "/a#", "/a##b", "/a#f/../x", "/a#f with space", "/a#f<>",
+        "#", "##", "#f#g", "/#f", "http://h.example#f",
+        "http://h.example/#f", "http://h.example/p#f#g",
+        "/a/.#f", "/a/..#f", "/a?x=1#f", "//cdn.example/x#f",
+        # single-param query shapes (fast path carries "k=v" verbatim)
+        "/a?hop=1", "/a?hop=1#f", "/a?k=", "/a?k", "/a?", "/a?k=v=w",
+        "/a?k=v&", "/a?b=2&a=1", "/a?a=1&b=2", "/a?k=%20", "/a?k=+x",
+        "/a?k=v;w", "/a?K=V", "/a?k.x-y~z=v.w~-_", "/a??k=v",
+        "/a?k#f", "?k=v", "?k=v#f", "/a?k=v?j=w",
+        "http://h.example/p?hop=2", "http://h.example?k=v",
+        "http://h.example/?k=v", "http://h.example/p?b=2&a=1",
+        "http://h.example/p?k=#f", "/a?=v", "/a?k==v", "/a?k&j",
+        # trailing-';' shapes: urljoin drops empty params from the last
+        # segment ("/y;" -> "/y") — the fast path must fall through
+        "/y;", "/a;b;", "/a;;", "/a;/b", "/a;?k=v", "/a;#f",
+        "http://h.example/y;", "http://h.example/a;b;",
     ]
     bases = [
         None, "http://h5.example/p/3", "https://h.example/",
@@ -129,3 +146,36 @@ def test_fast_path_matches_full_parser():
                 else None
             )
             assert got == want, (href, base, got, want)
+
+
+def test_fast_path_random_differential():
+    """Seeded random-href differential sweep: the fast path must equal the
+    full parser on arbitrary character soup (this is the sweep that caught
+    the trailing-';' urljoin params quirk)."""
+    import random
+    import string
+
+    from crusty_core_spark.functions.canonicalize import (
+        _canonicalize_full,
+        canonicalize_url_host,
+    )
+
+    rnd = random.Random(98765)
+    chars = string.ascii_letters + string.digits + "/?#&=._~-%+;:@!$'()*,"
+    bases = [
+        None, "http://h5.example/p/3", "https://h.example/",
+        "http://h.example/x?q=1", "http://h.example",
+    ]
+    for _ in range(30000):
+        href = "".join(rnd.choice(chars) for _ in range(rnd.randint(0, 24)))
+        r = rnd.random()
+        if r < 0.35:
+            href = "/" + href
+        elif r < 0.6:
+            href = "http://h.example/" + href
+        base = rnd.choice(bases)
+        got = canonicalize_url_host(href, base)
+        want = (
+            _canonicalize_full(href.strip(), base) if href.strip() else None
+        )
+        assert got == want, (href, base, got, want)

@@ -189,3 +189,53 @@ def test_metrics_byte_tap(spark, workdir):
     }
     for it, (rd, wr) in fl.items():
         assert m[it] == (rd, wr), it
+
+
+def test_io_metrics_rows_matches_scalar():
+    """The batch twin must reproduce io_metrics row for row across the
+    full condition space (resolve-failed / DNS-only / no-status /
+    redirect / content-type accept-reject / Head / missing body)."""
+    import itertools
+
+    from crusty_core_spark.functions.http_sim import io_metrics, io_metrics_rows
+
+    rows = []
+    for rf, tgt, st, ct, ce, loc, bl in itertools.product(
+        [False, True],
+        ["Follow", "Head", "JustResolveDNS", "Load"],
+        [None, 200, 301, 302, 399, 400, 404, 503],
+        [None, "text/html", "text/html; charset=utf-8", "image/png"],
+        [None, "gzip"],
+        [None, "http://h.example/next"],
+        [None, 0, 12345],
+    ):
+        rows.append((f"http://h{len(rows)}.example/p/{len(rows)}",
+                     f"h{len(rows)}.example", rf, tgt, st, ct, ce, loc, bl))
+
+    ua = "test-agent/9"
+    accepted = ("text/html",)
+    custom = (("x-one", "1"), ("x-two", "22"))
+    got = io_metrics_rows(
+        urls=[r[0] for r in rows],
+        hosts=[r[1] for r in rows],
+        user_agent=ua,
+        resolve_failed=[r[2] for r in rows],
+        targets=[r[3] for r in rows],
+        statuses=[r[4] for r in rows],
+        content_types=[r[5] for r in rows],
+        content_encodings=[r[6] for r in rows],
+        locations=[r[7] for r in rows],
+        body_lens=[r[8] for r in rows],
+        accepted_content_types=accepted,
+        custom_headers=custom,
+    )
+    for i, r in enumerate(rows):
+        h, rd, wr = io_metrics(
+            url=r[0], host=r[1], user_agent=ua, resolve_failed=r[2],
+            target=r[3], status=r[4], content_type=r[5],
+            content_encoding=r[6], location=r[7], body_len=r[8],
+            accepted_content_types=accepted, custom_headers=custom,
+        )
+        assert got[0][i] == h, r
+        assert got[1][i] == rd, r
+        assert got[2][i] == wr, r
