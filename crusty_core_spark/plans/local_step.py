@@ -75,6 +75,25 @@ _TASK_SLICE = ["job_id", "task_seq", "url", "host", "depth", "redirect",
 _POOL = None
 _POOL_N = None
 
+#: shared commit thread pool — the per-iteration table commits (chain /
+#: job_state / url_seen / bloom / fetch_log / job_log / frontier) are
+#: independent tables whose writes serialize only on the manifest lock,
+#: exactly like the distributed path's deferred commit writers
+#: (engine._commit_chain_out). pyarrow's encode/write releases the GIL,
+#: so a handful of threads overlap the per-file metadata floors.
+_COMMIT_POOL = None
+
+
+def _commit_pool():
+    global _COMMIT_POOL
+    if _COMMIT_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _COMMIT_POOL = ThreadPoolExecutor(
+            max_workers=4, thread_name_prefix="local-commit"
+        )
+    return _COMMIT_POOL
+
 
 def _get_pool(n: int):
     global _POOL, _POOL_N
@@ -397,41 +416,51 @@ def _resolver_usable(engine, hosts_series) -> dict[str, bool]:
     return cache
 
 
-def _seen_sets(io, shards: list[int]) -> dict[int, set]:
-    """Per-shard (job_id, url) membership sets for the selected url_seen
-    shards — a candidate can only live in its host's shard, so membership
-    tests stay per-shard (no O(history) union per iteration).
+def _seen_key_chunks(io, shards: list[int]) -> dict[int, list]:
+    """Per-shard url_seen membership keys as arrow string chunks
+    (``"<job_id>|<url>"`` — job ids are digits-only, so the first ``|``
+    always terminates them and the key is collision-free) — a candidate
+    can only live in its host's shard, so membership tests stay per-shard
+    (no O(history) union per iteration).
 
     Incremental cache: url_seen partitions only ever APPEND new immutable
     files, so a shard whose cached rel-list is a prefix of the current one
-    loads only the new files' pairs — O(new rows) per iteration regardless
-    of history length."""
-    cache = getattr(io, "_local_seen_sets", None)
+    loads only the new files' keys — O(new rows) per iteration regardless
+    of history length. The chunks feed ``pyarrow.compute.is_in`` (a C
+    hash probe over the whole candidate batch) instead of the former
+    per-candidate python ``(job, url) in set`` lookups, which were the
+    single biggest main-thread cost of a fat iteration's dedup stage."""
+    import pyarrow.compute as pc
+
+    cache = getattr(io, "_local_seen_keys", None)
     if cache is None:
-        cache = io._local_seen_sets = {}
+        cache = io._local_seen_keys = {}
     parts = io._parts(bloom.URL_SEEN_TABLE)
-    out: dict[int, set] = {}
+    out: dict[int, list] = {}
     for sid in shards:
         key = str(sid)
         rels = tuple(parts.get(key, ()))
-        cached_rels, cached_set = cache.get(key, ((), set()))
+        cached_rels, chunks = cache.get(key, ((), []))
         if rels[: len(cached_rels)] != cached_rels:
-            cached_rels, cached_set = (), set()  # rewritten (compaction)
+            cached_rels, chunks = (), []  # rewritten (compaction)
         new_rels = rels[len(cached_rels):]
         if new_rels:
-            # arrow-direct: only two columns' value lists are needed, so
-            # skip the per-file pandas DataFrame construction entirely
+            # arrow-direct: only two columns are needed, and the join to
+            # key strings happens inside arrow — no python tuples at all
             for t in io._read_paths_tables(
                 [os.path.join(io.root, bloom.URL_SEEN_TABLE, r)
                  for r in new_rels],
                 columns=["job_id", "url"],
             ):
-                cached_set.update(
-                    zip(t.column("job_id").to_pylist(),
-                        t.column("url").to_pylist())
-                )
-            cache[key] = (rels, cached_set)
-        out[sid] = cached_set
+                if t.num_rows:
+                    joined = pc.binary_join_element_wise(
+                        pc.cast(t.column("job_id"), "string"),
+                        t.column("url"),
+                        "|",
+                    )
+                    chunks.extend(getattr(joined, "chunks", [joined]))
+            cache[key] = (rels, chunks)
+        out[sid] = chunks
     return out
 
 
@@ -1150,18 +1179,37 @@ def _step_local_inner(engine, it: int) -> dict:
         if cfg.use_bloom:
             host_shards = _host_shards(engine, cfg, set(c_host))
             pos_shards = sorted(set(host_shards.values()))
-            sets: dict[int, set] = {}
+            key_chunks: dict[int, list] = {}
             if io.exists(bloom.URL_SEEN_TABLE):
                 dedup_stats["dedup_shards_read"] = len(pos_shards)
-                sets = _seen_sets(io, pos_shards)
-            empty: set = set()
-            seen_flags = np.fromiter(
-                (
-                    (j, u) in sets.get(host_shards[h], empty)
-                    for j, u, h in zip(c_job, c_url, c_host)
-                ),
-                dtype=bool, count=n_cands,
-            )
+                key_chunks = _seen_key_chunks(io, pos_shards)
+            if any(key_chunks.get(s) for s in pos_shards):
+                import pyarrow as pa
+                import pyarrow.compute as pc
+
+                cand_keys = pc.binary_join_element_wise(
+                    pc.cast(pa.array(c_job, type=pa.int64()), "string"),
+                    pa.array(c_url, type=pa.string()),
+                    "|",
+                )
+                shard_of = np.fromiter(
+                    (host_shards[h] for h in c_host), dtype="int64",
+                    count=n_cands,
+                )
+                for s in np.unique(shard_of):
+                    ch = key_chunks.get(int(s))
+                    if not ch:
+                        continue
+                    idx = np.flatnonzero(shard_of == s)
+                    hit = pc.is_in(
+                        cand_keys.take(pa.array(idx)),
+                        value_set=pa.chunked_array(ch),
+                    )
+                    # a None url joins to a null key → null is_in → not
+                    # seen, matching the former (job, None)-not-in-set
+                    seen_flags[idx] = pc.fill_null(hit, False).to_numpy(
+                        zero_copy_only=False
+                    )
         else:
             seen_pdf = (
                 io.read_partitions_local(
@@ -1214,19 +1262,32 @@ def _step_local_inner(engine, it: int) -> dict:
             "SPARK_CRAWL_NO_SLIM"
         ):
             # exact twin of engine.step's pre_action CASE (rejected takes
-            # precedence; rel is already ""-coalesced here)
-            scheme_ok = np.fromiter(
-                (
-                    u is not None
-                    and (u.startswith("http:") or u.startswith("https:"))
-                    for u in c_url
+            # precedence; rel is already ""-coalesced here). Arrow prefix
+            # test over the whole batch (null url → not ok, like the old
+            # "u is not None and ..." guard); rel values repeat heavily,
+            # so lower() runs once per DISTINCT value via factorize
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            u_pa = pa.array(c_url, type=pa.string())
+            scheme_ok = pc.fill_null(
+                pc.or_(
+                    pc.starts_with(u_pa, pattern="http:"),
+                    pc.starts_with(u_pa, pattern="https:"),
                 ),
-                dtype=bool, count=n_cands,
+                False,
+            ).to_numpy(zero_copy_only=False)
+            rel_codes, rel_uniq = pd.factorize(
+                np.asarray(c_rel, dtype=object)
             )
-            nofollow = np.fromiter(
-                (r.lower() == "no-follow" for r in c_rel),
-                dtype=bool, count=n_cands,
-            )
+            nofollow = np.zeros(n_cands, dtype=bool)
+            if len(rel_uniq):
+                rel_flags = np.fromiter(
+                    (u.lower() == "no-follow" for u in rel_uniq),
+                    dtype=bool, count=len(rel_uniq),
+                )
+                valid = rel_codes >= 0
+                nofollow[valid] = rel_flags[rel_codes[valid]]
             pre[~scheme_ok] = "rejected"
             pre[scheme_ok & (nofollow | seen_flags)] = "skip"
         slim_mask = (pre != None) & (cs >= 0)  # noqa: E711
@@ -1464,30 +1525,40 @@ def _step_local_inner(engine, it: int) -> dict:
         {int(j) % N_JOB_BUCKETS for j in new_tasks["job_id"].tolist()}
     )
 
-    # --- commits: pyarrow through the same TableIO manifest
+    # --- commits: pyarrow through the same TableIO manifest. Independent
+    # tables commit CONCURRENTLY (the same pattern as the distributed
+    # path's deferred commit writers): each write is submitted as soon as
+    # its input frame exists, all are joined before set_state/checkpoint —
+    # the durability point — so the crash/recovery model is unchanged.
+    commit_futs = []
+    _submit = _commit_pool().submit
     chain_schema = io.schema("chain")
     log_rows = chain_out[chain_out["row_kind"] != "state"].copy()
     log_rows["iter"] = int(it)
     # fat commits split into multiple files (threaded write): the NEXT
     # iteration may be distributed — its frontier scan then starts from
     # parallel input partitions instead of one single-file task
-    io.append_pdf("chain", log_rows, chain_schema,
-                  n_files=min(16, len(log_rows) // 25_000 + 1))
+    commit_futs.append(_submit(
+        io.append_pdf, "chain", log_rows, chain_schema,
+        n_files=min(16, len(log_rows) // 25_000 + 1),
+    ))
 
     states_out = chain_out[chain_out["row_kind"] == "state"][
         _STATE_COLS
     ].copy()
     states_out["_bucket"] = states_out["job_id"].astype("int64") % N_JOB_BUCKETS
-    io.overwrite_partitions_pdf(
-        "job_state", states_out, "_bucket", io.schema("job_state")
-    )
+    commit_futs.append(_submit(
+        io.overwrite_partitions_pdf,
+        "job_state", states_out, "_bucket", io.schema("job_state"),
+    ))
 
     seen_new = new_tasks[["job_id", "url"]].copy()
     seen_new["added_iter"] = int(it)
     seen_new["shard"] = [shard_by_host[h] for h in hosts_list]
-    io.append_partitions_pdf(
+    commit_futs.append(_submit(
+        io.append_partitions_pdf,
         "url_seen", seen_new, "shard", io.schema("url_seen"),
-    )
+    ))
 
     if cfg.use_bloom and len(new_tasks):
         jobs_list = new_tasks["job_id"].tolist()
@@ -1520,7 +1591,7 @@ def _step_local_inner(engine, it: int) -> dict:
         pairs = [
             (shard_by_host[h], p) for h, p in zip(hosts_list, positions)
         ]
-        bloom.merge_pairs_local(io, cfg, pairs)
+        commit_futs.append(_submit(bloom.merge_pairs_local, io, cfg, pairs))
 
     if cfg.delay_ms > 0:
         tasks_pdf = new_tasks[_TASK_SLICE].copy()
@@ -1531,11 +1602,12 @@ def _step_local_inner(engine, it: int) -> dict:
                 [remaining[_FRONTIER_COLS], tasks_pdf[_FRONTIER_COLS]],
                 ignore_index=True,
             )
-        io.overwrite_pdf(
+        commit_futs.append(_submit(
+            io.overwrite_pdf,
             "frontier_pending", tasks_pdf[_FRONTIER_COLS],
             io.schema("frontier_pending"),
             n_files=min(16, len(tasks_pdf) // 25_000 + 1),
-        )
+        ))
         next_job_ids = set(tasks_pdf["job_id"].tolist())
     else:
         next_job_ids = set(new_tasks["job_id"].tolist())
@@ -1556,7 +1628,9 @@ def _step_local_inner(engine, it: int) -> dict:
             "seq_counter": finished["seq_counter"].astype("int64"),
         }
     )
-    io.append_pdf("job_log", job_log_pdf, io.schema("job_log"))
+    commit_futs.append(_submit(
+        io.append_pdf, "job_log", job_log_pdf, io.schema("job_log")
+    ))
 
     if io.exists("fetch_log") or io.snapshot_id("fetch_log") > 0:
         fl_schema = io.schema("fetch_log")
@@ -1566,7 +1640,11 @@ def _step_local_inner(engine, it: int) -> dict:
         if engine.user_extract_schema and cfg.fetch_log_detail:
             fl_fields += list(_ddl(engine.user_extract_schema).fields)
         fl_schema = T.StructType(fl_fields)
-    io.append_pdf("fetch_log", fetch_log_pdf, fl_schema)
+    commit_futs.append(_submit(
+        io.append_pdf, "fetch_log", fetch_log_pdf, fl_schema
+    ))
+    for f in commit_futs:  # join before the checkpoint (durability point)
+        f.result()
 
     # --- metrics buffer + state + checkpoint (identical to the Spark path)
     n_ready = sum(counts.values())
