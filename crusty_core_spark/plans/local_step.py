@@ -181,7 +181,9 @@ def _columnarize_parsed(pdf, user_cols, emit_title):
         "task_seq": _i64("task_seq"),
         "depth": _i64("depth"),
         "lens": lens,
-        "pos": [int(lk["pos"]) for lk in flat],
+        "pos": np.fromiter(
+            (lk["pos"] for lk in flat), dtype="int64", count=len(flat)
+        ),
         "url": [lk["url"] for lk in flat],
         "host": [lk["host"] for lk in flat],
         "rel": [(lk["rel"] or "") for lk in flat],
@@ -198,6 +200,12 @@ def _columnarize_parsed(pdf, user_cols, emit_title):
 
 def _extract_worker(args):
     pdf, expanders, user_extract, user_cols, parser, emit_title = args
+    if isinstance(pdf, dict):
+        # dict-of-column-slices handoff (same pattern as _chain_worker):
+        # the frame construction runs here, parallel across the pool,
+        # instead of the main thread paying pandas block splitting per
+        # chunk before pickling
+        pdf = pd.DataFrame(pdf)
     out = next(
         _extract_batches(
             iter([pdf]), "html", "content_encoding", "url",
@@ -677,8 +685,14 @@ def _seed_local_inner(engine, seed_pairs, cfg, io, re):
             list(_ddl(S.CHAIN_OUT)) + [T.StructField("iter", T.LongType())]
         )
     )
-    io.append_pdf("chain", log_rows, chain_schema,
-                  n_files=min(16, len(log_rows) // 25_000 + 1))
+    # independent tables commit concurrently (same pattern as step_local's
+    # commit block); all futures join before the seed checkpoint
+    commit_futs = []
+    _submit = _commit_pool().submit
+    commit_futs.append(_submit(
+        io.append_pdf, "chain", log_rows, chain_schema,
+        n_files=min(16, len(log_rows) // 25_000 + 1),
+    ))
 
     states_out = chain_out[chain_out["row_kind"] == "state"][
         _STATE_COLS
@@ -696,7 +710,10 @@ def _seed_local_inner(engine, seed_pairs, cfg, io, re):
             + [T.StructField("_bucket", T.IntegerType())]
         )
     )
-    io.overwrite_partitions_pdf("job_state", states_out, "_bucket", js_schema)
+    commit_futs.append(_submit(
+        io.overwrite_partitions_pdf,
+        "job_state", states_out, "_bucket", js_schema,
+    ))
 
     hosts_list = new_tasks["host"].tolist()
     uniq_hosts = list(set(hosts_list))
@@ -728,7 +745,9 @@ def _seed_local_inner(engine, seed_pairs, cfg, io, re):
             list(_ddl(S.URL_SEEN)) + [T.StructField("shard", T.IntegerType())]
         )
     )
-    io.append_partitions_pdf("url_seen", seen_new, "shard", us_schema)
+    commit_futs.append(_submit(
+        io.append_partitions_pdf, "url_seen", seen_new, "shard", us_schema,
+    ))
 
     if cfg.use_bloom and len(new_tasks):
         jobs_list = new_tasks["job_id"].tolist()
@@ -758,20 +777,21 @@ def _seed_local_inner(engine, seed_pairs, cfg, io, re):
                                 cfg.bloom_bits_per_shard)
                 for j, u in zip(jobs_list, urls_list)
             ]
-        bloom.merge_pairs_local(
-            io, cfg,
+        commit_futs.append(_submit(
+            bloom.merge_pairs_local, io, cfg,
             [(shard_by_host[h], p) for h, p in zip(hosts_list, positions)],
-        )
+        ))
 
     if cfg.delay_ms > 0:
         tasks_pdf = new_tasks[_TASK_SLICE].copy()
         tasks_pdf["next_fetch_iter"] = 1
         tasks_pdf["added_iter"] = 0
-        io.overwrite_pdf(
+        commit_futs.append(_submit(
+            io.overwrite_pdf,
             "frontier_pending", tasks_pdf[_FRONTIER_COLS],
             _schema("frontier_pending", S.FRONTIER),
             n_files=min(16, len(tasks_pdf) // 25_000 + 1),
-        )
+        ))
         next_job_ids = set(tasks_pdf["job_id"].tolist())
     else:
         next_job_ids = set(new_tasks["job_id"].tolist())
@@ -791,7 +811,11 @@ def _seed_local_inner(engine, seed_pairs, cfg, io, re):
             "seq_counter": finished["seq_counter"].astype("int64"),
         }
     )
-    io.append_pdf("job_log", job_log_pdf, _schema("job_log", S.JOB_LOG))
+    commit_futs.append(_submit(
+        io.append_pdf, "job_log", job_log_pdf, _schema("job_log", S.JOB_LOG)
+    ))
+    for f in commit_futs:  # join before the seed checkpoint
+        f.result()
 
     # --- metrics row + state + checkpoint (same shape as the Spark seed,
     #     exec_local flagged)
@@ -1087,33 +1111,37 @@ def _step_local_inner(engine, it: int) -> dict:
     emit_title = bool(cfg.fetch_log_detail)
     parts: list[dict] = []
     if len(parse_idx):
-        parse_pdf = pd.DataFrame(
-            {
-                "job_id": job_a[parse_idx],
-                "task_seq": seq_a[parse_idx],
-                "url": url_a[parse_idx],
-                "depth": depth_a[parse_idx],
-                "html": [html_list[i] for i in parse_idx],
-                "content_encoding": [ce_list[i] for i in parse_idx],
-            }
-        )
+        parse_cols = {
+            "job_id": job_a[parse_idx],
+            "task_seq": seq_a[parse_idx],
+            "url": url_a[parse_idx],
+            "depth": depth_a[parse_idx],
+            "html": [html_list[i] for i in parse_idx],
+            "content_encoding": [ce_list[i] for i in parse_idx],
+        }
+        n_parse = len(parse_idx)
         ext_args = (engine.expanders, engine.user_extract, user_cols,
                     getattr(engine, "parser", None), emit_title)
         if (
             n_workers > 1
-            and len(parse_pdf) >= 256
+            and n_parse >= 256
             and _picklable(*ext_args)
         ):
-            import numpy as np
-
+            # ship contiguous column slices (numpy views / list slices);
+            # each worker builds its own frame — chunk boundaries don't
+            # affect results (rows parse independently, output order is
+            # chunk order = row order either way)
+            bounds = [n_parse * g // n_workers for g in range(n_workers + 1)]
             chunks = [
-                c for c in np.array_split(parse_pdf, n_workers) if len(c)
+                {k: v[lo:hi] for k, v in parse_cols.items()}
+                for lo, hi in zip(bounds, bounds[1:])
+                if hi > lo
             ]
             parts = _get_pool(n_workers).map(
                 _extract_worker, [(c, *ext_args) for c in chunks]
             )
         else:
-            parts = [_extract_worker((parse_pdf, *ext_args))]
+            parts = [_extract_worker((parse_cols, *ext_args))]
     mark("extract")
 
     # --- candidates: parsed links ∪ redirect re-emits, assembled from the
@@ -1133,37 +1161,48 @@ def _step_local_inner(engine, it: int) -> dict:
                 return parts[0][key]
             return list(itertools.chain.from_iterable(p[key] for p in parts))
 
-        c_job = np.repeat(p_job, lens).tolist()
-        c_seq = np.repeat(p_seq, lens).tolist()
-        c_depth = np.repeat(p_depth + 1, lens).tolist()
-        c_pos = _cat("pos")
+        # int columns stay numpy end to end (the former .tolist() round
+        # trip re-converted 260k-element lists back to arrays downstream);
+        # string columns stay python lists (consumed by _take / pa.array)
+        c_job = np.repeat(p_job, lens)
+        c_seq = np.repeat(p_seq, lens)
+        c_depth = np.repeat(p_depth + 1, lens)
+        c_pos = (
+            np.concatenate([p["pos"] for p in parts])
+            if len(parts) > 1 else np.asarray(parts[0]["pos"], dtype="int64")
+        )
         c_url = _cat("url")
         c_host = _cat("host")
         c_rel = _cat("rel")
         c_alt = _cat("alt")
         c_text = _cat("text")
         c_target = _cat("target")
-        c_red = [0] * len(c_url)
-        c_marker = [0] * len(c_url)
+        c_red = np.zeros(len(c_url), dtype="int64")
+        c_marker = np.zeros(len(c_url), dtype="int64")
     else:
-        c_job, c_seq, c_depth, c_pos = [], [], [], []
+        zi64 = np.zeros(0, dtype="int64")
+        c_job, c_seq, c_depth, c_pos = zi64, zi64, zi64, zi64
         c_url, c_host, c_rel, c_alt, c_text, c_target = [], [], [], [], [], []
-        c_red, c_marker = [], []
+        c_red, c_marker = zi64, zi64
     n_parsed_links = len(c_url)
     if not drain:
-        for i in np.flatnonzero(action == "term:Redirect"):
-            c_job.append(int(job_a[i]))
-            c_seq.append(int(seq_a[i]))
-            c_pos.append(0)
-            c_url.append(canon_loc_list[i])
-            c_host.append(_url_host(canon_loc_list[i]))
-            c_rel.append("")
-            c_alt.append("")
-            c_text.append("")
-            c_depth.append(int(depth_a[i]))
-            c_red.append(int(red_a[i]) + 1)
-            c_target.append(target_a[i])
-            c_marker.append(int(marker_a[i]))
+        ridx = np.flatnonzero(action == "term:Redirect")
+        if len(ridx):
+            c_job = np.concatenate([c_job, job_a[ridx]])
+            c_seq = np.concatenate([c_seq, seq_a[ridx]])
+            c_pos = np.concatenate(
+                [c_pos, np.zeros(len(ridx), dtype="int64")]
+            )
+            c_depth = np.concatenate([c_depth, depth_a[ridx]])
+            c_red = np.concatenate([c_red, red_a[ridx] + 1])
+            c_marker = np.concatenate([c_marker, marker_a[ridx]])
+            for i in ridx:
+                c_url.append(canon_loc_list[i])
+                c_host.append(_url_host(canon_loc_list[i]))
+                c_rel.append("")
+                c_alt.append("")
+                c_text.append("")
+                c_target.append(target_a[i])
     n_cands = len(c_url)
 
     # --- dedup flag: exact check against the url_seen partitions, pruned to
@@ -1330,37 +1369,47 @@ def _step_local_inner(engine, it: int) -> dict:
         i_pos = np.zeros(n_rows, dtype="int64")
         i_depth, i_red, i_marker = depth_a, red_a, marker_a
         i_seen = np.zeros(n_rows, dtype=bool)
-    none_fs = [None] * (nf + ns)
-    _obj = lambda lst: np.asarray(lst, dtype=object)  # noqa: E731
+    n_chain_rows = n_rows + nf + ns
+
+    # slice-assign assembly: np.empty(object) arrays initialize to None,
+    # so the slimagg/resp tails that are all-None cost nothing — the old
+    # list-concat + asarray path walked every element of every column
+    def _scol(resp_part, cand_list=None, tail=None):
+        arr = np.empty(n_chain_rows, dtype=object)
+        arr[:n_rows] = resp_part
+        if cand_list is not None and nf:
+            arr[n_rows:n_rows + nf] = _take(cand_list, fidx)
+        if tail is not None and ns:
+            arr[n_rows + nf:] = tail
+        return arr
+
+    kind_col = np.empty(n_chain_rows, dtype=object)
+    kind_col[:n_rows] = "resp"
+    kind_col[n_rows:n_rows + nf] = "cand"
+    kind_col[n_rows + nf:] = "slimagg"
     chain_cols = {
         "job_id": i_job,
-        "kind": _obj(["resp"] * n_rows + ["cand"] * nf + ["slimagg"] * ns),
+        "kind": kind_col,
         "task_seq": i_seq,
         "link_pos": i_pos,
-        "url": _obj(url_a.tolist() + (_take(c_url, fidx) if nf else [])
-                    + [None] * ns),
-        "host": _obj(host_a.tolist() + (_take(c_host, fidx) if nf else [])
-                     + [None] * ns),
-        "rel": _obj(fetched["rel"].tolist()
-                    + (_take(c_rel, fidx) if nf else []) + [None] * ns),
-        "alt": _obj(fetched["alt"].tolist()
-                    + (_take(c_alt, fidx) if nf else []) + [None] * ns),
-        "text": _obj(fetched["text"].tolist()
-                     + (_take(c_text, fidx) if nf else []) + ns_txt),
+        "url": _scol(url_a, c_url),
+        "host": _scol(host_a, c_host),
+        "rel": _scol(fetched["rel"].to_numpy(), c_rel),
+        "alt": _scol(fetched["alt"].to_numpy(), c_alt),
+        "text": _scol(fetched["text"].to_numpy(), c_text, ns_txt),
         "depth": i_depth,
         "redirect": i_red,
-        "target": _obj(target_a.tolist()
-                       + (_take(c_target, fidx) if nf else []) + [None] * ns),
+        "target": _scol(target_a, c_target),
         "marker": i_marker,
         "seen_global": i_seen,
-        "status": _obj(status_list + none_fs),
-        "content_type": _obj(ct_list + none_fs),
-        "content_encoding": _obj(ce_list + none_fs),
-        "body": _obj(body_list + none_fs),
-        "action": _obj(action.tolist() + none_fs),
-        "pre_action": _obj([None] * (n_rows + nf) + ns_pre),
+        "status": _scol(status_list),
+        "content_type": _scol(ct_list),
+        "content_encoding": _scol(ce_list),
+        "body": _scol(body_list),
+        "action": _scol(action),
+        "pre_action": _scol([None] * n_rows, None, ns_pre),
     }
-    n_chain_rows = n_rows + nf + ns
+    mark("chain_prep")
     # Jobs are processed independently inside bucket_fn, so ANY partition of
     # the rows by job produces the identical per-job output (row order in
     # the appended log differs, which nothing depends on: every consumer
