@@ -30,12 +30,26 @@ from crusty_core_spark.functions import text as TX
 from crusty_core_spark.functions import vectors as V
 
 
+#: the driver-contract fixture tables (FIXTURES.md §7) — the prefetch
+#: below warms their lazy read HANDLES, nothing else
+_FIXTURE_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Table read with a per-session DataFrame-HANDLE memo: repeated
     ``spark.read.parquet`` of the same immutable fixture costs ~0.1 s of
     py4j/footer work per call (16 reads of 6 distinct tables across the
     timed queries). The memo caches only the lazy plan object — no data,
-    no results: every action still scans the parquet files."""
+    no results: every action still scans the parquet files.
+
+    The first read additionally starts a daemon thread that opens the
+    remaining fixture tables' handles concurrently (py4j calls are
+    thread-safe; the JVM footer reads overlap whatever query is
+    executing) — a 5-table join otherwise pays ~0.08 s of serial
+    footer/schema work per previously-unseen table at build time."""
     key = (sf_dir, name)
     cache = getattr(spark, "_crusty_table_handles", None)
     if cache is None:
@@ -43,6 +57,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = cache.get(key)
     if df is None:
         df = cache[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if not getattr(spark, "_crusty_prefetch_started", False):
+            spark._crusty_prefetch_started = True
+            import os
+            import threading
+
+            def _prefetch():
+                for t in _FIXTURE_TABLES:
+                    k = (sf_dir, t)
+                    p = f"{sf_dir}/{t}.parquet"
+                    if k in cache or not os.path.exists(p):
+                        continue
+                    try:
+                        cache[k] = spark.read.parquet(p)
+                    except Exception:  # pragma: no cover - best effort
+                        pass
+
+            threading.Thread(target=_prefetch, daemon=True).start()
     return df
 
 

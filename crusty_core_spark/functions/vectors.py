@@ -48,6 +48,35 @@ def _cosine_hoisted(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return _dot(a, b) / (na * nb)
 
 
+# ---- SQL-text twins (driver-side build cost) -------------------------
+#
+# Every higher-order-function lambda built through the Column API is its
+# own py4j callback dance; the ANN builders stack enough of them that
+# CONSTRUCTING q33's tree cost ~1 s of pure driver time. Each builder
+# below spells the IDENTICAL expression as Spark-SQL text parsed JVM-side
+# in one round trip (same cast placement, same fold order, same rounding —
+# `0.0D` is the parser's double literal, matching F.lit(0.0)). Pinned
+# against the Column versions by tests/test_expr_twins.py.
+
+
+def _norm_sql(c: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({c}, x -> CAST(x AS DOUBLE) * "
+        f"CAST(x AS DOUBLE)), 0.0D, (acc, v) -> acc + v))"
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _cos_hoisted_sql(a: str, b: str, na: str, nb: str) -> str:
+    return f"round({_dot_sql(a, b)} / ({na} * {nb}), 6)"
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -74,7 +103,7 @@ def brute_force_topk(
     ``None``, the size check runs; ``max_broadcast_queries`` of 0/None
     means "never broadcast" (guard disabled entirely, no count either).
     """
-    q = queries.withColumn("_nq", _norm(F.col("qvec")))
+    q = queries.withColumn("_nq", F.expr(_norm_sql("qvec")))
     if broadcast_queries is True:
         q = F.broadcast(q)
     elif broadcast_queries is None and max_broadcast_queries and (
@@ -82,16 +111,15 @@ def brute_force_topk(
         <= max_broadcast_queries
     ):
         q = F.broadcast(q)
-    scored = vectors.withColumn("_nv", _norm(F.col(vec_col))).join(q).filter(
-        F.col(id_col) != F.col("query_id")
-    ).select(
-        "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        F.round(
-            _cosine_hoisted(F.col(vec_col), F.col("qvec"),
-                            F.col("_nv"), F.col("_nq")),
-            6,
-        ).alias("cos"),
+    scored = (
+        vectors.withColumn("_nv", F.expr(_norm_sql(vec_col)))
+        .join(q)
+        .filter(F.col(id_col) != F.col("query_id"))
+        .selectExpr(
+            "query_id",
+            f"{id_col} AS neighbor_id",
+            f"{_cos_hoisted_sql(vec_col, 'qvec', '_nv', '_nq')} AS cos",
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -114,15 +142,13 @@ def ivf_assign(
     partitioned on the row id (never on the vector array itself). The
     result's ``bucket`` column becomes the equi-join key for probes.
     Norms are hoisted to each side of the join (see _cosine_hoisted)."""
-    scored = vectors.withColumn("_nv", _norm(F.col(vec_col))).join(
-        F.broadcast(centroids.withColumn("_nc", _norm(F.col(cent_col))))
-    ).select(
+    scored = vectors.withColumn("_nv", F.expr(_norm_sql(vec_col))).join(
+        F.broadcast(
+            centroids.withColumn("_nc", F.expr(_norm_sql(cent_col)))
+        )
+    ).selectExpr(
         "*",
-        F.round(
-            _cosine_hoisted(F.col(vec_col), F.col(cent_col),
-                            F.col("_nv"), F.col("_nc")),
-            6,
-        ).alias("_c"),
+        f"{_cos_hoisted_sql(vec_col, cent_col, '_nv', '_nc')} AS _c",
     )
     w = W.partitionBy(id_col).orderBy(F.desc("_c"), F.asc("centroid_id"))
     return (
@@ -150,20 +176,16 @@ def ivf_probe_topk(
     (query_id, qvec)."""
     assigned = ivf_assign(vectors, centroids, vec_col, "cvec", id_col)
     q_assigned = ivf_probe_assign(queries, centroids).withColumn(
-        "_nq", _norm(F.col("qvec"))
+        "_nq", F.expr(_norm_sql("qvec"))
     )
     scored = (
-        assigned.withColumn("_nv", _norm(F.col(vec_col)))
+        assigned.withColumn("_nv", F.expr(_norm_sql(vec_col)))
         .join(F.broadcast(q_assigned), on="bucket")
         .filter(F.col(id_col) != F.col("query_id"))
-        .select(
+        .selectExpr(
             "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            F.round(
-                _cosine_hoisted(F.col(vec_col), F.col("qvec"),
-                                F.col("_nv"), F.col("_nq")),
-                6,
-            ).alias("cos"),
+            f"{id_col} AS neighbor_id",
+            f"{_cos_hoisted_sql(vec_col, 'qvec', '_nv', '_nq')} AS cos",
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -176,15 +198,11 @@ def ivf_probe_topk(
 
 def ivf_probe_assign(queries: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment for the (small) query side."""
-    scored = queries.withColumn("_nq", _norm(F.col("qvec"))).join(
-        F.broadcast(centroids.withColumn("_nc", _norm(F.col("cvec"))))
-    ).select(
+    scored = queries.withColumn("_nq", F.expr(_norm_sql("qvec"))).join(
+        F.broadcast(centroids.withColumn("_nc", F.expr(_norm_sql("cvec"))))
+    ).selectExpr(
         "*",
-        F.round(
-            _cosine_hoisted(F.col("qvec"), F.col("cvec"),
-                            F.col("_nq"), F.col("_nc")),
-            6,
-        ).alias("_c"),
+        f"{_cos_hoisted_sql('qvec', 'cvec', '_nq', '_nc')} AS _c",
     )
     w = W.partitionBy("query_id").orderBy(F.desc("_c"), F.asc("centroid_id"))
     return (

@@ -116,3 +116,65 @@ def test_lang_id_from_scores_expr_twin(spark, docs):
         % TX.lang_id_from_scores_expr({lang: f"_s_{lang}" for lang in langs}),
     )
     assert _rows(a) == _rows(b)
+
+
+VECS = [
+    [0.1, 0.2, 0.3, 0.4],
+    [1.0, 0.0, 0.0, 0.0],
+    [0.0, 0.0, 0.0, 0.0],
+    [-1.5, 2.25, -3.125, 0.0625],
+    [1e-7, 1e7, -1e-7, -1e7],
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(VECS)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_vector_norm_dot_expr_twins(spark, vecs):
+    import crusty_core_spark.functions.vectors as V
+
+    a = vecs.select(
+        "vec_id",
+        V._norm(F.col("embedding")).alias("n"),
+        V._dot(F.col("embedding"), F.col("embedding")).alias("d"),
+    )
+    b = vecs.selectExpr(
+        "vec_id",
+        f"{V._norm_sql('embedding')} AS n",
+        f"{V._dot_sql('embedding', 'embedding')} AS d",
+    )
+    assert _rows(a) == _rows(b)
+
+
+def test_cos_hoisted_expr_twin(spark, vecs):
+    import crusty_core_spark.functions.vectors as V
+
+    # zero vectors excluded: BOTH forms raise the same ANSI
+    # DIVIDE_BY_ZERO on a zero norm (verified identical), but an
+    # exception can't ride the row-equality assertion
+    nz = vecs.where(F.expr("aggregate(embedding, 0.0D, (a, v) -> a + abs(v)) > 0"))
+    two = nz.withColumnRenamed("embedding", "a").crossJoin(
+        nz.selectExpr("vec_id AS vid2", "embedding AS b")
+    )
+    col = two.select(
+        "vec_id", "vid2",
+        F.round(
+            V._cosine_hoisted(
+                F.col("a"), F.col("b"),
+                V._norm(F.col("a")), V._norm(F.col("b")),
+            ),
+            6,
+        ).alias("c"),
+    )
+    txt = two.withColumn("_na", F.expr(V._norm_sql("a"))).withColumn(
+        "_nb", F.expr(V._norm_sql("b"))
+    ).selectExpr(
+        "vec_id", "vid2",
+        f"{V._cos_hoisted_sql('a', 'b', '_na', '_nb')} AS c",
+    )
+    assert _rows(col) == _rows(txt)
