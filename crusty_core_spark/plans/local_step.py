@@ -111,34 +111,69 @@ def _get_pool(n: int):
 def _pool_warm(_):
     """Run a small REAL extraction in the child: imports the hot modules,
     grows the allocator past the first-touch page-fault regime, and JITs
-    nothing (python) but primes every code path the real tasks hit."""
+    nothing (python) but primes every code path the real tasks hit.
+    Sized near a real fat-iteration chunk (a few hundred pages, MBs of
+    frame memory): a first TIMED fat iteration otherwise still pays the
+    children's allocator growth — measured as the first crawl of a
+    session running ~10% slower than the second on identical inputs."""
+    import numpy as np
     import pandas as pd
 
     from crusty_core_spark.functions.extract import _extract_batches
 
     html = (
         b"<html><head><title>warm</title></head><body>"
-        + b'<p>word </p><a href="/a">a</a><img src="/i.png" alt="x"/>' * 40
+        + b'<p>word w2 w3 </p><a href="/page/p1">a</a>'
+        + b'<a href="/page/p2#s">b</a><img src="/i.png" alt="x"/>' * 7
         + b"</body></html>"
-    )
+    ) * 3
+    n = 384
     pdf = pd.DataFrame(
         {
-            "url": [f"http://warm.example/{i}" for i in range(64)],
-            "depth": [0] * 64,
-            "html": [html] * 64,
-            "content_encoding": [None] * 64,
+            "url": [f"http://warm{i % 17}.example/{i}" for i in range(n)],
+            "depth": [0] * n,
+            "html": [html] * n,
+            "content_encoding": [None] * n,
         }
     )
-    next(_extract_batches(iter([pdf]), "html", "content_encoding", "url"))
+    out = next(_extract_batches(iter([pdf]), "html", "content_encoding",
+                                "url"))
+    _columnarize_parsed(out, [], False)
+    # big-array paths the fold/commit kernels hit: object-array take,
+    # stable argsort, frame construction/boolean masks at size
+    arr = np.empty(200_000, dtype=object)
+    arr[:] = "http://warm.example/page"
+    order = np.argsort(np.arange(200_000) % 16, kind="stable")
+    big = pd.DataFrame({"a": arr[order], "b": np.arange(200_000) % 97})
+    _ = big[big["b"] > 50]
     return 0
 
 
 def warm_pool(cfg) -> None:
     """Fork + warm the local-path worker pool NOW (engine construction) so
     the one-time fork/COW/import cost never lands inside a crawl
-    iteration. No-op when the local path or multiprocessing is disabled."""
+    iteration. No-op when the local path or multiprocessing is disabled.
+    Also primes the PARENT-side arrow/numpy kernels the iteration loop
+    uses (is_in hash probe, element-wise join, factorize) — their
+    first-call registry/dispatch setup otherwise lands in the first
+    timed fat iteration."""
     if not cfg.local_iter_threshold:
         return
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    keys = pa.array([f"{i}|http://warm.example/{i}" for i in range(4096)])
+    probe = pc.binary_join_element_wise(
+        pc.cast(pa.array(np.arange(4096, dtype="int64")), "string"),
+        pa.array(["http://warm.example/x"] * 4096),
+        "|",
+    )
+    pc.fill_null(pc.is_in(probe, value_set=keys), False).to_numpy(
+        zero_copy_only=False
+    )
+    pc.starts_with(keys, pattern="http:")
+    pd.factorize(np.asarray(["", "no-follow"] * 512, dtype=object))
     n = cfg.resolved_local_workers()
     if n <= 1:
         return
