@@ -708,8 +708,7 @@ def _seed_local_inner(engine, seed_pairs, cfg, io, re):
 
     # --- commits (same tables, same layout as the distributed seed)
     new_tasks = chain_out[chain_out["row_kind"] == "task"]
-    log_rows = chain_out[chain_out["row_kind"] != "state"].copy()
-    log_rows["iter"] = 0
+    log_rows = chain_out[chain_out["row_kind"] != "state"].assign(iter=0)
     # an existing chain table's schema already carries 'iter' (appended at
     # first write) — only the fresh-table DDL needs it added, else pyarrow
     # raises Duplicate column names on re-seed into a crashed workdir
@@ -729,11 +728,11 @@ def _seed_local_inner(engine, seed_pairs, cfg, io, re):
         n_files=min(16, len(log_rows) // 25_000 + 1),
     ))
 
-    states_out = chain_out[chain_out["row_kind"] == "state"][
-        _STATE_COLS
-    ].copy()
-    states_out["_bucket"] = (
-        states_out["job_id"].astype("int64") % N_JOB_BUCKETS
+    states_out = chain_out.loc[
+        chain_out["row_kind"] == "state", _STATE_COLS
+    ]
+    states_out = states_out.assign(
+        _bucket=states_out["job_id"].astype("int64") % N_JOB_BUCKETS
     )
     # fresh-table schemas carry the partition column exactly like the
     # distributed writers' frames (withColumn appends it last)
@@ -770,9 +769,9 @@ def _seed_local_inner(engine, seed_pairs, cfg, io, re):
             h: bloom_shard_id(h or "", cfg.n_bloom_shards)
             for h in uniq_hosts
         }
-    seen_new = new_tasks[["job_id", "url"]].copy()
-    seen_new["added_iter"] = 0
-    seen_new["shard"] = [shard_by_host[h] for h in hosts_list]
+    seen_new = new_tasks[["job_id", "url"]].assign(
+        added_iter=0, shard=[shard_by_host[h] for h in hosts_list]
+    )
     us_schema = (
         io.schema("url_seen")
         if io.exists("url_seen") or io.snapshot_id("url_seen") > 0
@@ -818,9 +817,9 @@ def _seed_local_inner(engine, seed_pairs, cfg, io, re):
         ))
 
     if cfg.delay_ms > 0:
-        tasks_pdf = new_tasks[_TASK_SLICE].copy()
-        tasks_pdf["next_fetch_iter"] = 1
-        tasks_pdf["added_iter"] = 0
+        tasks_pdf = new_tasks[_TASK_SLICE].assign(
+            next_fetch_iter=1, added_iter=0
+        )
         commit_futs.append(_submit(
             io.overwrite_pdf,
             "frontier_pending", tasks_pdf[_FRONTIER_COLS],
@@ -1617,8 +1616,11 @@ def _step_local_inner(engine, it: int) -> dict:
     commit_futs = []
     _submit = _commit_pool().submit
     chain_schema = io.schema("chain")
-    log_rows = chain_out[chain_out["row_kind"] != "state"].copy()
-    log_rows["iter"] = int(it)
+    # boolean-mask selection already copies; assign() adds the column
+    # without a SECOND full copy of the 20 object columns
+    log_rows = chain_out[chain_out["row_kind"] != "state"].assign(
+        iter=int(it)
+    )
     # fat commits split into multiple files (threaded write): the NEXT
     # iteration may be distributed — its frontier scan then starts from
     # parallel input partitions instead of one single-file task
@@ -1627,18 +1629,21 @@ def _step_local_inner(engine, it: int) -> dict:
         n_files=min(16, len(log_rows) // 25_000 + 1),
     ))
 
-    states_out = chain_out[chain_out["row_kind"] == "state"][
-        _STATE_COLS
-    ].copy()
-    states_out["_bucket"] = states_out["job_id"].astype("int64") % N_JOB_BUCKETS
+    states_out = chain_out.loc[
+        chain_out["row_kind"] == "state", _STATE_COLS
+    ]
+    states_out = states_out.assign(
+        _bucket=states_out["job_id"].astype("int64") % N_JOB_BUCKETS
+    )
     commit_futs.append(_submit(
         io.overwrite_partitions_pdf,
         "job_state", states_out, "_bucket", io.schema("job_state"),
     ))
 
-    seen_new = new_tasks[["job_id", "url"]].copy()
-    seen_new["added_iter"] = int(it)
-    seen_new["shard"] = [shard_by_host[h] for h in hosts_list]
+    seen_new = new_tasks[["job_id", "url"]].assign(
+        added_iter=int(it),
+        shard=[shard_by_host[h] for h in hosts_list],
+    )
     commit_futs.append(_submit(
         io.append_partitions_pdf,
         "url_seen", seen_new, "shard", io.schema("url_seen"),
@@ -1678,9 +1683,9 @@ def _step_local_inner(engine, it: int) -> dict:
         commit_futs.append(_submit(bloom.merge_pairs_local, io, cfg, pairs))
 
     if cfg.delay_ms > 0:
-        tasks_pdf = new_tasks[_TASK_SLICE].copy()
-        tasks_pdf["next_fetch_iter"] = int(it + 1)
-        tasks_pdf["added_iter"] = int(it)
+        tasks_pdf = new_tasks[_TASK_SLICE].assign(
+            next_fetch_iter=int(it + 1), added_iter=int(it)
+        )
         if remaining is not None and len(remaining):
             tasks_pdf = pd.concat(
                 [remaining[_FRONTIER_COLS], tasks_pdf[_FRONTIER_COLS]],
