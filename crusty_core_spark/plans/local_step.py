@@ -266,6 +266,42 @@ def _bloom_positions_worker(args):
     ]
 
 
+def _bloom_commit(io, cfg, n_workers, jobs_list, urls_list, hosts_list,
+                  shard_by_host):
+    """Bit-position computation + shard merge as ONE unit, submitted to
+    the commit pool so the serial-path xxhash64 twin (thin iterations,
+    below the fork-pool threshold) runs concurrently with the other
+    table writes instead of on the main thread between submissions.
+    Pool from ~2k rows: the pure-python twin costs ~60 us/url serial
+    while the fork-pool dispatch for a list of short urls is ~10 ms."""
+    if n_workers > 1 and len(jobs_list) >= 512:
+        import numpy as np
+
+        splits = [
+            ix for ix in np.array_split(np.arange(len(jobs_list)),
+                                        n_workers) if len(ix)
+        ]
+        parts = _get_pool(n_workers).map(
+            _bloom_positions_worker,
+            [
+                (cfg.bloom_num_hashes, cfg.bloom_bits_per_shard,
+                 [jobs_list[i] for i in ix], [urls_list[i] for i in ix])
+                for ix in splits
+            ],
+        )
+        positions = [p for part in parts for p in part]
+    else:
+        positions = [
+            bloom_positions(int(j), u, cfg.bloom_num_hashes,
+                            cfg.bloom_bits_per_shard)
+            for j, u in zip(jobs_list, urls_list)
+        ]
+    bloom.merge_pairs_local(
+        io, cfg,
+        [(shard_by_host[h], p) for h, p in zip(hosts_list, positions)],
+    )
+
+
 def _chain_worker(args):
     cfg, filters, drain, key, left, right = args
     if isinstance(left, dict):
@@ -784,36 +820,10 @@ def _seed_local_inner(engine, seed_pairs, cfg, io, re):
     ))
 
     if cfg.use_bloom and len(new_tasks):
-        jobs_list = new_tasks["job_id"].tolist()
-        urls_list = new_tasks["url"].tolist()
-        # pool from ~2k rows: the pure-python xxhash64 twin costs ~60 us/
-        # url serial (12k new tasks = ~0.8 s of commit, cProfile-measured)
-        # while the fork-pool dispatch for a list of short urls is ~10 ms
-        if n_workers > 1 and len(jobs_list) >= 512:
-            import numpy as np
-
-            splits = [
-                ix for ix in np.array_split(np.arange(len(jobs_list)),
-                                            n_workers) if len(ix)
-            ]
-            parts = _get_pool(n_workers).map(
-                _bloom_positions_worker,
-                [
-                    (cfg.bloom_num_hashes, cfg.bloom_bits_per_shard,
-                     [jobs_list[i] for i in ix], [urls_list[i] for i in ix])
-                    for ix in splits
-                ],
-            )
-            positions = [p for part in parts for p in part]
-        else:
-            positions = [
-                bloom_positions(int(j), u, cfg.bloom_num_hashes,
-                                cfg.bloom_bits_per_shard)
-                for j, u in zip(jobs_list, urls_list)
-            ]
         commit_futs.append(_submit(
-            bloom.merge_pairs_local, io, cfg,
-            [(shard_by_host[h], p) for h, p in zip(hosts_list, positions)],
+            _bloom_commit, io, cfg, n_workers,
+            new_tasks["job_id"].tolist(), new_tasks["url"].tolist(),
+            hosts_list, shard_by_host,
         ))
 
     if cfg.delay_ms > 0:
@@ -1650,37 +1660,11 @@ def _step_local_inner(engine, it: int) -> dict:
     ))
 
     if cfg.use_bloom and len(new_tasks):
-        jobs_list = new_tasks["job_id"].tolist()
-        urls_list = new_tasks["url"].tolist()
-        # pool from ~2k rows: the pure-python xxhash64 twin costs ~60 us/
-        # url serial (12k new tasks = ~0.8 s of commit, cProfile-measured)
-        # while the fork-pool dispatch for a list of short urls is ~10 ms
-        if n_workers > 1 and len(jobs_list) >= 512:
-            import numpy as np
-
-            splits = [
-                ix for ix in np.array_split(np.arange(len(jobs_list)),
-                                            n_workers) if len(ix)
-            ]
-            parts = _get_pool(n_workers).map(
-                _bloom_positions_worker,
-                [
-                    (cfg.bloom_num_hashes, cfg.bloom_bits_per_shard,
-                     [jobs_list[i] for i in ix], [urls_list[i] for i in ix])
-                    for ix in splits
-                ],
-            )
-            positions = [p for part in parts for p in part]
-        else:
-            positions = [
-                bloom_positions(int(j), u, cfg.bloom_num_hashes,
-                                cfg.bloom_bits_per_shard)
-                for j, u in zip(jobs_list, urls_list)
-            ]
-        pairs = [
-            (shard_by_host[h], p) for h, p in zip(hosts_list, positions)
-        ]
-        commit_futs.append(_submit(bloom.merge_pairs_local, io, cfg, pairs))
+        commit_futs.append(_submit(
+            _bloom_commit, io, cfg, n_workers,
+            new_tasks["job_id"].tolist(), new_tasks["url"].tolist(),
+            hosts_list, shard_by_host,
+        ))
 
     if cfg.delay_ms > 0:
         tasks_pdf = new_tasks[_TASK_SLICE].assign(
