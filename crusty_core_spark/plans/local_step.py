@@ -379,12 +379,16 @@ def _slimagg_groups(jj, tt, pp, ll):
     # group's smallest original index (arange was the sort tiebreaker)
     app = np.argsort(order[starts], kind="stable")
     uniq_l = list(uniq_p)
+    # hoist the per-group key array: evaluating sp[starts] INSIDE the
+    # comprehension rebuilt the O(G) fancy-index array once per group —
+    # O(G^2), ~5 s at an 80k-group iteration (3x-corpus scale check)
+    sp_starts = sp[starts]
     return (
         sj[starts][app],
         st[starts][app],
         sizes[app],
         [txts[i] for i in app],
-        [uniq_l[sp[starts][i]] for i in app],
+        [uniq_l[c] for c in sp_starts[app].tolist()],
     )
 
 
